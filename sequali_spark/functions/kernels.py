@@ -1,0 +1,232 @@
+"""Vectorized per-document metric kernels.
+
+These NumPy/pandas kernels are the analogue of sequali's C accumulator
+kernels (reference: src/sequali/_qcmodule.c:1966-2139 per-position base
+classification; :1993-2058 GC fraction; :4462-4517 dedup fingerprints;
+:3846-3930 overrepresented-fragment sampling).  They are pure functions
+of a batch of documents, shared verbatim by
+
+  * the single-process pandas oracle (sequali_spark.oracle), and
+  * the Spark pipeline's Arrow batches (sequali_spark.pipeline),
+
+so Spark output matches the oracle exactly by construction — the same
+way sequali's tests assert exact per-read metric values
+(reference: tests/test_qc_metrics.py:90-140).
+
+All sampling is keyed on a deterministic hash of ``url`` (never on row
+position), so results are invariant to partitioning — the deliberate
+re-specification of sequali's ``seq_index % sample_every`` early-skip
+(reference: _qcmodule.c:3833-3836); see SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# --- char classification ----------------------------------------------------
+# Byte-class lookup table over UTF-8 bytes, the analogue of sequali's
+# NUCLEOTIDE_TO_INDEX[128] (reference: _qcmodule.c:1741-1766).  Classes:
+#   0 alpha (a-zA-Z)  1 digit  2 space  3 punct/symbol (other ASCII printable)
+#   4 control (ASCII < 0x20 except \t\n\r which count as space)  5 non-ASCII
+N_CLASSES = 6
+CLASS_ALPHA, CLASS_DIGIT, CLASS_SPACE, CLASS_PUNCT, CLASS_CTRL, CLASS_NONASCII = range(6)
+
+_CLASS_TABLE = np.full(256, CLASS_PUNCT, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _CLASS_TABLE[_c] = CLASS_ALPHA
+for _c in range(ord("A"), ord("Z") + 1):
+    _CLASS_TABLE[_c] = CLASS_ALPHA
+for _c in range(ord("0"), ord("9") + 1):
+    _CLASS_TABLE[_c] = CLASS_DIGIT
+for _c in b" \t\n\r":
+    _CLASS_TABLE[_c] = CLASS_SPACE
+for _c in range(0x20):
+    if _c not in b"\t\n\r":
+        _CLASS_TABLE[_c] = CLASS_CTRL
+_CLASS_TABLE[0x7F] = CLASS_CTRL
+_CLASS_TABLE[0x80:] = CLASS_NONASCII
+
+_UPPER_MASK = np.zeros(256, dtype=bool)
+_UPPER_MASK[ord("A") : ord("Z") + 1] = True
+
+
+def _concat_bytes(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate byte strings; return (uint8 array, offsets[n+1])."""
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    return buf, offsets
+
+
+def char_class_counts(texts: list[bytes]) -> np.ndarray:
+    """(n_docs, N_CLASSES+1) matrix: per-doc byte-class counts + upper count.
+
+    One pass over a single concatenated buffer with ``np.add.reduceat`` —
+    the NumPy equivalent of sequali's unrolled per-base count loop
+    (reference: _qcmodule.c:2004-2031).
+    """
+    n = len(texts)
+    out = np.zeros((n, N_CLASSES + 1), dtype=np.int64)
+    if n == 0:
+        return out
+    buf, offsets = _concat_bytes(texts)
+    if len(buf) == 0:
+        return out
+    classes = _CLASS_TABLE[buf]
+    upper = _UPPER_MASK[buf]
+    # reduceat needs start indices; empty docs (start==next start) must yield 0.
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    red_idx = np.minimum(starts, len(buf) - 1)
+    for k in range(N_CLASSES):
+        sums = np.add.reduceat((classes == k).astype(np.int64), red_idx)
+        out[:, k] = np.where(nonempty, sums, 0)
+    sums = np.add.reduceat(upper.astype(np.int64), red_idx)
+    out[:, N_CLASSES] = np.where(nonempty, sums, 0)
+    # reduceat quirk: when starts[i] == starts[i+1] (empty doc), the segment
+    # for i covers the *next* doc; the nonempty mask already zeroes those,
+    # but the segment boundaries for the following docs stay correct because
+    # reduceat uses the raw index list.
+    return out
+
+
+def max_char_run(texts: list[bytes]) -> np.ndarray:
+    """Longest run of one repeated byte per doc (junk detector)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        a = np.frombuffer(t, dtype=np.uint8)
+        if len(a) == 1:
+            out[i] = 1
+            continue
+        change = np.flatnonzero(a[1:] != a[:-1])
+        bounds = np.concatenate(([-1], change, [len(a) - 1]))
+        out[i] = int(np.max(np.diff(bounds)))
+    return out
+
+
+# --- deterministic hashing --------------------------------------------------
+
+def stable_hash64(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit hash (blake2b-based, like sequali's seeded
+    MurmurHash3 at _qcmodule.c:4475 — the exact function is irrelevant,
+    determinism across processes/partitions is what matters)."""
+    h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little") & 0x7FFFFFFFFFFFFFFF
+
+
+def url_sample_mask(urls: pd.Series, sample_every: int = 8) -> np.ndarray:
+    """Deterministic 1-in-N sampling keyed on url hash.
+
+    Re-spec of sequali's ``seq_index % sample_every == 0``
+    (reference: _qcmodule.c:3833-3836, default 8 at :3431): a sequential
+    index is not reproducible under distribution, a key hash is.
+    """
+    return np.fromiter(
+        (stable_hash64(u.encode("utf-8")) % sample_every == 0 for u in urls),
+        dtype=bool,
+        count=len(urls),
+    )
+
+
+# --- dedup fingerprint ------------------------------------------------------
+# Analogue of sequali's DedupEstimator fingerprint: a fixed-size sample of
+# 8 bytes at offset<=64 from the front plus 8 bytes from the back, offsets
+# shrunk proportionally for short documents (reference: _qcmodule.c:4462-4485),
+# hashed with a length-bucket seed (seed = len >> 6, reference: :4475).
+FP_SAMPLE_LEN = 16
+FP_MAX_OFFSET = 64
+
+
+def dedup_fingerprints(texts: list[bytes]) -> np.ndarray:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        n = len(t)
+        if n >= 2 * (FP_MAX_OFFSET + FP_SAMPLE_LEN):
+            front = t[FP_MAX_OFFSET : FP_MAX_OFFSET + FP_SAMPLE_LEN]
+            back = t[n - FP_MAX_OFFSET - FP_SAMPLE_LEN : n - FP_MAX_OFFSET]
+        else:
+            # proportional shrink, like the reference's short-read path
+            off = n // 4
+            half = max((n - 2 * off) // 2, 0)
+            front = t[off : off + min(half, FP_SAMPLE_LEN)]
+            back = t[n - off - min(half, FP_SAMPLE_LEN) : n - off]
+        out[i] = stable_hash64(front + back, seed=n >> 6)
+    return out
+
+
+# --- overrepresented fragments ---------------------------------------------
+# Analogue of OverrepresentedSequences: from sampled documents take
+# non-overlapping k-char shingles from the first and last ANCHOR chars,
+# distinct within a document (reference: _qcmodule.c:3846-3930 sampling
+# diagram; :3588-3608 within-read staging-dedup).
+SHINGLE_K = 21
+SHINGLE_ANCHOR = 100
+
+
+def doc_shingles(text: bytes, k: int = SHINGLE_K, anchor: int = SHINGLE_ANCHOR) -> list[bytes]:
+    """Non-overlapping k-byte shingles from head and tail anchors, distinct
+    within the doc, order-stable (front-in then back-in)."""
+    n = len(text)
+    seen: dict[bytes, None] = {}
+    head = text[: min(anchor, n)]
+    for s in range(0, len(head) - k + 1, k):
+        seen.setdefault(head[s : s + k])
+    if n > anchor:
+        tail = text[max(n - anchor, 0) :]
+        for s in range(0, len(tail) - k + 1, k):
+            seen.setdefault(tail[s : s + k])
+    return list(seen.keys())
+
+
+# --- tokenization -----------------------------------------------------------
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokenization, lowercased. Shared by langid/perplexity/
+    repetition metrics so oracle and pipeline agree byte-for-byte."""
+    return text.lower().split()
+
+
+def word_stats(texts: list[str]) -> pd.DataFrame:
+    """Per-doc token metrics: n_words, mean_word_len, top-bigram fraction,
+    duplicate-line fraction (by chars) — the repetition battery, analogue of
+    sequali's overrepresented/duplication per-read views."""
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_wlen = np.zeros(n, dtype=np.float64)
+    top_bigram = np.zeros(n, dtype=np.float64)
+    dup_line = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        words = tokenize(t)
+        n_words[i] = len(words)
+        if words:
+            mean_wlen[i] = sum(len(w) for w in words) / len(words)
+        if len(words) >= 2:
+            counts: dict[tuple[str, str], int] = {}
+            for a, b in zip(words, words[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            top_bigram[i] = max(counts.values()) / (len(words) - 1)
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        if lines:
+            seen: dict[str, int] = {}
+            dup_chars = 0
+            total_chars = 0
+            for ln in lines:
+                total_chars += len(ln)
+                if ln in seen:
+                    dup_chars += len(ln)
+                seen[ln] = seen.get(ln, 0) + 1
+            dup_line[i] = dup_chars / total_chars if total_chars else 0.0
+    return pd.DataFrame(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wlen,
+            "top_bigram_frac": top_bigram,
+            "dup_line_frac": dup_line,
+        }
+    )

@@ -1,0 +1,191 @@
+"""The per-document metric battery + keep/drop rule engine.
+
+This is the single source of truth for per-document semantics: the
+pandas oracle applies :func:`compute_metrics` to the whole table in one
+process; the Spark pipeline applies the *same function* to every Arrow
+batch inside ``mapInPandas``.  Per-document metrics are pure row
+functions, so batch-wise == global and the pipeline matches the oracle
+exactly (keep/drop F1 = 1.0, scrubbed text byte-identical) by
+construction — the transplant of sequali's exact-value testing
+philosophy (reference: tests/test_qc_metrics.py:90-140).
+
+Rule battery ancestry (SURVEY.md §7.2):
+  length / char-class ratios     <- QCMetrics per-position tables (A1-A5)
+  repetition (dup lines/bigrams) <- OverrepresentedSequences spirit (A8)
+  langid                         <- seqtech detection (util.py:162-254)
+  perplexity                     <- per-read mean quality (A5)
+  PII/toxicity scrub             <- AdapterCounter exact search (A6)
+  fingerprint / shingles         <- DedupEstimator (A10) / OverrepSeqs (A8)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sequali_spark.functions import kernels, langid, perplexity, scrub
+
+# --- thresholds (the rule battery's config, cf. sequali's CLI defaults
+# __main__.py:58-199) ---------------------------------------------------------
+MIN_CHARS = 50
+MAX_CHARS = 2_000_000
+MIN_WORDS = 10
+MEAN_WORD_LEN_RANGE = (2.0, 12.0)
+MAX_DIGIT_RATIO = 0.25
+MAX_UPPER_RATIO = 0.30
+MAX_PUNCT_RATIO = 0.20
+MAX_CTRL_RATIO = 0.005
+MAX_CHAR_RUN = 20
+MAX_DUP_LINE_FRAC = 0.30
+MAX_TOP_BIGRAM_FRAC = 0.20
+MAX_PERPLEXITY = 5_000.0
+MIN_LANG_CONF = 0.60
+
+RULE_ORDER = [
+    "too_short",
+    "too_long",
+    "too_few_words",
+    "word_len_out_of_range",
+    "digit_heavy",
+    "upper_heavy",
+    "punct_heavy",
+    "control_chars",
+    "char_run",
+    "dup_lines",
+    "repeated_bigrams",
+    "high_perplexity",
+    "low_lang_conf",
+    "toxicity",
+    "bad_html_encoding",
+]
+
+METRIC_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, lang string, "
+    "n_chars bigint, n_bytes bigint, n_words bigint, "
+    "alpha_ratio double, digit_ratio double, upper_ratio double, "
+    "space_ratio double, punct_ratio double, ctrl_ratio double, "
+    "nonascii_ratio double, mean_word_len double, max_char_run bigint, "
+    "dup_line_frac double, top_bigram_frac double, "
+    "lang_pred string, lang_conf double, perplexity double, "
+    "pii_hits bigint, tox_hits bigint, html_utf8 boolean, "
+    "fingerprint bigint, sampled boolean, shingles array<string>, "
+    "keep boolean, drop_reasons array<string>, scrubbed_text binary"
+)
+
+
+def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch of pages (url, warc_ts, html, text, lang) -> metric frame.
+
+    Vectorized throughout: char classes via one concatenated-buffer pass
+    (kernels.char_class_counts), scrubbing via compiled-regex pandas ops,
+    models via NumPy.  No per-row Python in the Spark hot path beyond
+    bounded per-doc NumPy loops (the same work sequali does per read).
+    """
+    n = len(pdf)
+    texts = pdf["text"].fillna("").astype(object)
+    raw_bytes = [t.encode("utf-8") for t in texts]
+
+    cls_counts = kernels.char_class_counts(raw_bytes)
+    n_bytes = cls_counts.sum(axis=1) - cls_counts[:, kernels.N_CLASSES]
+    denom = np.maximum(n_bytes, 1).astype(np.float64)
+
+    ws = kernels.word_stats(list(texts))
+    run = kernels.max_char_run(raw_bytes)
+    fingerprints = kernels.dedup_fingerprints(raw_bytes)
+
+    lang_pred, lang_conf = langid.get_model().predict(list(texts))
+    ppl = perplexity.get_model().perplexities(list(texts))
+
+    scrubbed, hit_frame = scrub.scrub_batch(texts)
+    scrubbed_bytes = [t.encode("utf-8") for t in scrubbed]
+
+    html = pdf["html"]
+    html_utf8 = np.ones(n, dtype=bool)
+    for i, h in enumerate(html):
+        if h is None:
+            continue
+        try:
+            (h if isinstance(h, (bytes, bytearray)) else bytes(h)).decode("utf-8")
+        except UnicodeDecodeError:
+            html_utf8[i] = False
+
+    sampled = kernels.url_sample_mask(pdf["url"])
+    shingles: list[list[str]] = [
+        [s.decode("utf-8", "replace") for s in kernels.doc_shingles(raw_bytes[i])]
+        if sampled[i]
+        else []
+        for i in range(n)
+    ]
+
+    out = pd.DataFrame(
+        {
+            "url": pdf["url"].to_numpy(),
+            "warc_ts": pdf["warc_ts"].to_numpy(),
+            "lang": pdf["lang"].to_numpy(),
+            "n_chars": np.fromiter((len(t) for t in texts), np.int64, n),
+            "n_bytes": n_bytes,
+            "n_words": ws["n_words"].to_numpy(),
+            "alpha_ratio": cls_counts[:, kernels.CLASS_ALPHA] / denom,
+            "digit_ratio": cls_counts[:, kernels.CLASS_DIGIT] / denom,
+            "upper_ratio": cls_counts[:, kernels.N_CLASSES] / denom,
+            "space_ratio": cls_counts[:, kernels.CLASS_SPACE] / denom,
+            "punct_ratio": cls_counts[:, kernels.CLASS_PUNCT] / denom,
+            "ctrl_ratio": cls_counts[:, kernels.CLASS_CTRL] / denom,
+            "nonascii_ratio": cls_counts[:, kernels.CLASS_NONASCII] / denom,
+            "mean_word_len": ws["mean_word_len"].to_numpy(),
+            "max_char_run": run,
+            "dup_line_frac": ws["dup_line_frac"].to_numpy(),
+            "top_bigram_frac": ws["top_bigram_frac"].to_numpy(),
+            "lang_pred": lang_pred,
+            "lang_conf": lang_conf,
+            "perplexity": ppl,
+            "pii_hits": hit_frame["pii_hits"].to_numpy(dtype=np.int64),
+            "tox_hits": hit_frame["tox_hits"].to_numpy(dtype=np.int64),
+            "html_utf8": html_utf8,
+            "fingerprint": fingerprints,
+            "sampled": sampled,
+            "shingles": shingles,
+        }
+    )
+
+    reasons = _apply_rules(out)
+    out["keep"] = [len(r) == 0 for r in reasons]
+    out["drop_reasons"] = reasons
+    out["scrubbed_text"] = scrubbed_bytes
+    return out
+
+
+def _apply_rules(m: pd.DataFrame) -> list[list[str]]:
+    """Evaluate the rule battery; returns per-doc ordered drop reasons.
+
+    Soft-degrade philosophy: a rule firing adds a reason, it never raises
+    (cf. sequali's skipped_reason, _qcmodule.c:3136-3148)."""
+    flags = {
+        "too_short": m["n_chars"].to_numpy() < MIN_CHARS,
+        "too_long": m["n_chars"].to_numpy() > MAX_CHARS,
+        "too_few_words": m["n_words"].to_numpy() < MIN_WORDS,
+        "word_len_out_of_range": (
+            (m["mean_word_len"].to_numpy() < MEAN_WORD_LEN_RANGE[0])
+            | (m["mean_word_len"].to_numpy() > MEAN_WORD_LEN_RANGE[1])
+        )
+        & (m["n_words"].to_numpy() > 0),
+        "digit_heavy": m["digit_ratio"].to_numpy() > MAX_DIGIT_RATIO,
+        "upper_heavy": m["upper_ratio"].to_numpy() > MAX_UPPER_RATIO,
+        "punct_heavy": m["punct_ratio"].to_numpy() > MAX_PUNCT_RATIO,
+        "control_chars": m["ctrl_ratio"].to_numpy() > MAX_CTRL_RATIO,
+        "char_run": m["max_char_run"].to_numpy() > MAX_CHAR_RUN,
+        "dup_lines": m["dup_line_frac"].to_numpy() > MAX_DUP_LINE_FRAC,
+        "repeated_bigrams": m["top_bigram_frac"].to_numpy() > MAX_TOP_BIGRAM_FRAC,
+        "high_perplexity": (m["perplexity"].to_numpy() > MAX_PERPLEXITY)
+        & (m["lang_pred"].to_numpy() == "en"),
+        "low_lang_conf": m["lang_conf"].to_numpy() < MIN_LANG_CONF,
+        "toxicity": m["tox_hits"].to_numpy() > 0,
+        "bad_html_encoding": ~m["html_utf8"].to_numpy(),
+    }
+    n = len(m)
+    out: list[list[str]] = [[] for _ in range(n)]
+    for name in RULE_ORDER:
+        f = flags[name]
+        for i in np.flatnonzero(f):
+            out[i].append(name)
+    return out

@@ -1,0 +1,76 @@
+"""Compiled-regex PII / toxicity scrubber.
+
+The analogue of sequali's AdapterCounter exact multi-pattern search
+(reference: src/sequali/_qcmodule.c:2387-2963, shift-AND/bitap over
+packed adapter probes): a battery of compiled patterns applied to every
+document, with deterministic byte-exact replacement.  Patterns are
+declared in a TSV the same shape as sequali's adapter_list.tsv
+(reference: src/sequali/adapters/adapters.py:32-48 — '#' comments
+ignored, tab-separated) so the battery is config, not code.
+
+Scrubbing must be byte-identical between the oracle and every Spark
+executor: only this module touches the text, and it is shared by both.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_PATTERNS_TSV = Path(__file__).resolve().parent.parent / "resources" / "patterns.tsv"
+
+
+@dataclass(frozen=True)
+class ScrubPattern:
+    name: str
+    category: str  # 'pii' | 'toxicity'
+    regex: re.Pattern
+    replacement: str
+
+
+def load_patterns(path: Path | None = None) -> list[ScrubPattern]:
+    """TSV columns: name, category, regex, replacement ('#' = comment)."""
+    path = path or DEFAULT_PATTERNS_TSV
+    out: list[ScrubPattern] = []
+    for line in path.read_text(encoding="utf-8").splitlines():
+        if not line.strip() or line.startswith("#"):
+            continue
+        name, category, pattern, replacement = line.split("\t")
+        out.append(ScrubPattern(name, category, re.compile(pattern), replacement))
+    return out
+
+
+_PATTERNS: list[ScrubPattern] | None = None
+
+
+def get_patterns() -> list[ScrubPattern]:
+    global _PATTERNS
+    if _PATTERNS is None:
+        _PATTERNS = load_patterns()
+    return _PATTERNS
+
+
+def scrub_batch(texts: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
+    """Apply every pattern in declared order (first-listed wins on overlap,
+    like sequali's first-occurrence-per-read semantics, _qcmodule.c:2643-2672).
+
+    Returns (scrubbed texts, per-doc hit-count frame with one int column
+    per pattern name plus 'pii_hits' / 'tox_hits' totals).
+    """
+    patterns = get_patterns()
+    scrubbed = texts
+    counts = {}
+    for p in patterns:
+        n = scrubbed.str.count(p.regex)
+        counts[f"hits_{p.name}"] = n.to_numpy(dtype=np.int64, na_value=0)
+        scrubbed = scrubbed.str.replace(p.regex, p.replacement, regex=True)
+    frame = pd.DataFrame(counts, index=texts.index)
+    pii_cols = [f"hits_{p.name}" for p in patterns if p.category == "pii"]
+    tox_cols = [f"hits_{p.name}" for p in patterns if p.category == "toxicity"]
+    frame["pii_hits"] = frame[pii_cols].sum(axis=1) if pii_cols else 0
+    frame["tox_hits"] = frame[tox_cols].sum(axis=1) if tox_cols else 0
+    return scrubbed, frame

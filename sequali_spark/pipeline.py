@@ -1,0 +1,92 @@
+"""The Spark quality pipeline: one scan -> one Arrow metric stage -> labels.
+
+Lifecycle (the Spark transplant of sequali's single-pass loop,
+reference: src/sequali/__main__.py:279-306 — every batch feeds all
+modules in one pass):
+
+    read pages table (columnar scan, pruned columns)
+      -> repartition (warc_ts day bucket + salted hosts; SURVEY.md §2.7)
+      -> ONE mapInPandas stage: the full metric battery per Arrow batch
+         (sequali_spark.functions.metrics.compute_metrics — shared with
+         the oracle, hence exact parity)
+      -> keep/drop labels + scrubbed text columns
+      -> corpus aggregates off the same metric columns (operators/)
+
+Everything after the metric stage is relational (groupBy / window /
+broadcast join), optimized by Catalyst + AQE; there are zero custom
+optimizer rules (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sequali_spark.functions.metrics import METRIC_SCHEMA_DDL, compute_metrics
+
+PAGES_INPUT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def run_metric_stage(pages: DataFrame) -> DataFrame:
+    """Apply the full per-document metric battery in a single vectorized
+    Python stage. Input: pages DataFrame with the canonical 5 columns.
+
+    ``mapInPandas`` receives an iterator of Arrow batches — the direct
+    analogue of sequali's FastqRecordArrayView batches
+    (reference: _qcmodule.c:965-1184); one Python worker pass computes
+    every metric, exactly as sequali's loop feeds all 6 modules.
+    """
+    pruned = pages.select(*PAGES_INPUT_COLUMNS)
+
+    def _batches(it):
+        for pdf in it:
+            if len(pdf):
+                yield compute_metrics(pdf)
+
+    return pruned.mapInPandas(_batches, schema=METRIC_SCHEMA_DDL)
+
+
+def with_partitioning(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Repartition by (warc_ts day-bucket, salted host) before the metric
+    stage — warc_ts bucketing gives partition pruning on time-ranged
+    runs, the salt spreads the Zipf mega-host (north rule).  The metric
+    stage is embarrassingly parallel, so this is a scale knob, not a
+    correctness one: results are invariant to partitioning because all
+    sampling keys on url hash (kernels.url_sample_mask).
+    """
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    cols = [
+        F.to_date("warc_ts").alias("_day"),
+        F.pmod(F.hash(host, F.col("url")), F.lit(64)).alias("_salt"),
+    ]
+    return pages.repartition(*([num_partitions] if num_partitions else []), *cols)
+
+
+def quality_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    repartition: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full pipeline: returns the labeled metric DataFrame (one row per
+    input page) ready for sinks and corpus aggregates."""
+    if repartition:
+        pages = with_partitioning(pages, num_partitions)
+    return run_metric_stage(pages)
+
+
+def labels(metric_df: DataFrame) -> DataFrame:
+    """(url, keep, drop_reasons) — the keep/drop decision table, the
+    analogue of sequali's per-read pass/fail JSON values."""
+    return metric_df.select("url", "keep", "drop_reasons")
+
+
+def scrubbed(metric_df: DataFrame) -> DataFrame:
+    """(url, scrubbed_text BINARY) — byte-exact scrub output."""
+    return metric_df.select("url", "scrubbed_text")
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan seam: parquet today; an Iceberg catalog table takes the same
+    shape via sources.tables.TableIO (SURVEY.md §7.4)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,75 @@
+"""Exact-value unit tests for the metric kernels — mirroring sequali's
+per-cell assertions (reference: tests/test_qc_metrics.py:90-140)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sequali_spark.functions import kernels
+
+
+def test_char_class_counts_exact():
+    texts = [b"Abc 123!", b"", b"\tA\n", b"\xc3\xa9"]  # é = 2 non-ascii bytes
+    m = kernels.char_class_counts(texts)
+    # "Abc 123!": 3 alpha, 3 digit, 1 space, 1 punct, 1 upper
+    assert m[0].tolist() == [3, 3, 1, 1, 0, 0, 1]
+    assert m[1].tolist() == [0, 0, 0, 0, 0, 0, 0]
+    assert m[2].tolist() == [1, 0, 2, 0, 0, 0, 1]
+    assert m[3].tolist() == [0, 0, 0, 0, 0, 2, 0]
+
+
+def test_char_class_counts_empty_between():
+    texts = [b"aa", b"", b"", b"99"]
+    m = kernels.char_class_counts(texts)
+    assert m[:, kernels.CLASS_ALPHA].tolist() == [2, 0, 0, 0]
+    assert m[:, kernels.CLASS_DIGIT].tolist() == [0, 0, 0, 2]
+
+
+def test_max_char_run():
+    out = kernels.max_char_run([b"", b"a", b"aab", b"abbbbc", b"xxxx"])
+    assert out.tolist() == [0, 1, 2, 4, 4]
+
+
+def test_stable_hash64_deterministic():
+    a = kernels.stable_hash64(b"hello", seed=3)
+    assert a == kernels.stable_hash64(b"hello", seed=3)
+    assert a != kernels.stable_hash64(b"hello", seed=4)
+    assert 0 <= a < 2**63
+
+
+def test_url_sample_mask_partition_invariant():
+    urls = pd.Series([f"https://h/{i}" for i in range(64)])
+    full = kernels.url_sample_mask(urls)
+    # split into two "partitions": same per-url decision
+    left = kernels.url_sample_mask(urls[:32])
+    right = kernels.url_sample_mask(urls[32:].reset_index(drop=True))
+    assert np.array_equal(full, np.concatenate([left, right]))
+    assert 0 < full.sum() < 64
+
+
+def test_dedup_fingerprint_semantics():
+    t_long = (b"x" * 64) + b"FRONTSAMPLE00000" + (b"m" * 100) + b"BACKSAMPLE000000" + (b"y" * 64)
+    same_mid = (b"x" * 64) + b"FRONTSAMPLE00000" + (b"Z" * 100) + b"BACKSAMPLE000000" + (b"y" * 64)
+    fp = kernels.dedup_fingerprints([t_long, same_mid, b"short text here"])
+    # same sampled front/back + same length bucket -> same fingerprint
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_doc_shingles_distinct_and_anchored():
+    text = b"A" * 21 + b"B" * 21 + b"A" * 21  # head anchor only (63 chars)
+    sh = kernels.doc_shingles(text)
+    assert sh == [b"A" * 21, b"B" * 21]  # within-doc distinct, order stable
+    long = b"H" * 100 + b"m" * 500 + b"T" * 100
+    sh2 = kernels.doc_shingles(long)
+    assert b"H" * 21 in sh2 and b"T" * 21 in sh2
+    assert all(b"m" * 21 != s for s in sh2)  # middle never sampled
+
+
+def test_word_stats_exact():
+    ws = kernels.word_stats(["a bb ccc", "x x x x", "l1\nl1\nl2", ""])
+    assert ws["n_words"].tolist() == [3, 4, 3, 0]
+    assert ws["mean_word_len"][0] == 2.0
+    assert ws["top_bigram_frac"][1] == 1.0  # (x,x) 3 times / 3 bigrams
+    assert abs(ws["dup_line_frac"][2] - 2 / 6) < 1e-12

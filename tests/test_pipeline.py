@@ -1,0 +1,86 @@
+"""End-to-end Spark pipeline vs the single-process oracle.
+
+The hard gates from BASELINE.json: keep/drop F1 >= 0.99 (we assert
+exact equality — 1.0 by construction) and byte-identical scrubbed text
+per url, plus invariance to partitioning (local[8] semantics == any
+other parallelism)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sequali_spark.oracle import oracle_metrics
+from sequali_spark.pipeline import PAGES_INPUT_COLUMNS, quality_pipeline
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_df(spark, pdf: pd.DataFrame, partitions: int = 8):
+    df = spark.createDataFrame(pdf[PAGES_INPUT_COLUMNS], schema=PAGES_SCHEMA)
+    return df.repartition(partitions)
+
+
+@pytest.fixture(scope="module")
+def spark_metrics(spark, pages_small):
+    out = quality_pipeline(spark, pages_df(spark, pages_small)).toPandas()
+    return out.sort_values(["url", "n_chars"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def golden(pages_small):
+    out = oracle_metrics(pages_small)
+    return out.sort_values(["url", "n_chars"]).reset_index(drop=True)
+
+
+def test_row_counts(spark_metrics, golden):
+    assert len(spark_metrics) == len(golden)
+
+
+def test_keep_drop_exact_match(spark_metrics, golden):
+    # F1 = 1.0: spark labels identical to oracle labels per url
+    assert spark_metrics["keep"].tolist() == golden["keep"].tolist()
+    assert [list(r) for r in spark_metrics["drop_reasons"]] == [
+        list(r) for r in golden["drop_reasons"]
+    ]
+
+
+def test_scrubbed_text_byte_identical(spark_metrics, golden):
+    s = [bytes(b) for b in spark_metrics["scrubbed_text"]]
+    g = [bytes(b) for b in golden["scrubbed_text"]]
+    assert s == g
+
+
+def test_numeric_metrics_exact(spark_metrics, golden):
+    for col in [
+        "n_chars", "n_bytes", "n_words", "max_char_run",
+        "fingerprint", "pii_hits", "tox_hits",
+    ]:
+        assert spark_metrics[col].tolist() == golden[col].tolist(), col
+    for col in [
+        "alpha_ratio", "digit_ratio", "upper_ratio", "mean_word_len",
+        "dup_line_frac", "top_bigram_frac", "lang_conf", "perplexity",
+    ]:
+        pd.testing.assert_series_equal(
+            spark_metrics[col], golden[col], check_exact=True, obj=col
+        )
+    assert spark_metrics["lang_pred"].tolist() == golden["lang_pred"].tolist()
+    assert spark_metrics["sampled"].tolist() == golden["sampled"].tolist()
+
+
+def test_partitioning_invariance(spark, pages_tiny):
+    """Same labels whether the table arrives in 1 partition or 16 —
+    the re-specified hash-keyed sampling guarantees it (SURVEY.md §4)."""
+    a = quality_pipeline(spark, pages_df(spark, pages_tiny, partitions=1), repartition=False)
+    b = quality_pipeline(spark, pages_df(spark, pages_tiny, partitions=16), repartition=False)
+    pa = a.select("url", "keep", "fingerprint", "sampled").toPandas().sort_values("url").reset_index(drop=True)
+    pb = b.select("url", "keep", "fingerprint", "sampled").toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_single_python_stage(spark, pages_tiny):
+    """One-pass discipline: the physical plan contains exactly one
+    Python/Arrow eval stage (SURVEY.md §7.4)."""
+    df = quality_pipeline(spark, pages_df(spark, pages_tiny))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
