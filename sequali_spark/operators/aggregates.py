@@ -1,0 +1,217 @@
+"""Corpus-level aggregate reports over the metric DataFrame.
+
+These are the Spark transplants of sequali's report modules
+(reference: src/sequali/report_modules.py) — every one a relational
+groupBy/window off the single metric stage's columns, so the whole
+report battery costs one scan plus cheap shuffles of already-tiny
+aggregates.  Catalyst handles partial+final aggregation (the analogue
+of sequali's uint16-staging -> uint64-flush two-level scheme,
+reference: _qcmodule.c:1908-1963).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def host_col() -> F.Column:
+    """Host extracted from url — plays the role of the Illumina tile id
+    (reference: _qcmodule.c:3088-3121 parses tile from the read header)."""
+    return F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+
+
+def corpus_counters(metric_df: DataFrame) -> DataFrame:
+    """docs seen/kept/scrubbed + total bytes — the Summary analogue
+    (reference: report_modules.py:2537-2604). One row."""
+    return metric_df.agg(
+        F.count("*").alias("docs_seen"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        F.sum(((F.col("pii_hits") > 0) | (F.col("tox_hits") > 0)).cast("long")).alias(
+            "docs_scrubbed"
+        ),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_words").alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def rule_hit_counts(metric_df: DataFrame) -> DataFrame:
+    """Per-rule firing counts (explode the drop_reasons array)."""
+    return (
+        metric_df.select(F.explode("drop_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("hits"))
+        .orderBy(F.desc("hits"), "rule")
+    )
+
+
+def lang_histogram(metric_df: DataFrame) -> DataFrame:
+    return (
+        metric_df.groupBy(F.col("lang_pred").alias("lang"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.desc("docs"), "lang")
+    )
+
+
+def duplication_histogram(metric_df: DataFrame) -> DataFrame:
+    """Counter-of-counters over dedup fingerprints — DuplicationCounts
+    (reference: report_modules.py:1737-1756 builds Counter(counts);
+    DedupEstimator finalize _qcmodule.c:4712-4750).
+
+    Two shuffles on shrinking data: fingerprint -> count, count -> n.
+    At 10^12-doc scale the first groupBy keys on a 63-bit hash, which
+    distributes uniformly; a deterministic pre-filter
+    ``pmod(fingerprint, 2^b) == 0`` bounds it (the fixed-modulo re-spec
+    of the reference's adaptive subsampling, _qcmodule.c:4382-4423).
+    """
+    fp_counts = metric_df.groupBy("fingerprint").agg(F.count("*").alias("dup_count"))
+    return (
+        fp_counts.groupBy("dup_count")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .orderBy("dup_count")
+    )
+
+
+def estimated_unique_fraction(metric_df: DataFrame) -> DataFrame:
+    fp_counts = metric_df.groupBy("fingerprint").agg(F.count("*").alias("c"))
+    return fp_counts.agg(
+        (F.count("*") / F.sum("c")).alias("unique_fraction"),
+        F.count("*").alias("unique_fingerprints"),
+        F.sum("c").alias("docs_total"),
+    )
+
+
+def overrepresented_shingles(metric_df: DataFrame, min_count: int = 3, top_k: int = 100) -> DataFrame:
+    """Global overrepresented-fragment table — OverrepresentedSequences
+    finalize (reference: _qcmodule.c:4091-4180: threshold + sort desc).
+    Within-doc distinct already applied by the kernel; sampling is the
+    deterministic 1-in-8 url-hash mask.  Unbounded exact groupBy replaces
+    the reference's insert-capped table (SURVEY.md §4 'semantic' row):
+    exact and a superset, invariant to arrival order.
+    """
+    return (
+        metric_df.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), "shingle")
+        .limit(top_k)
+    )
+
+
+def identify_overrepresented(
+    overrep: DataFrame, boilerplate: DataFrame
+) -> DataFrame:
+    """Match overrepresented shingles against a known-boilerplate DB —
+    the broadcast-lookup join J2 (reference:
+    sequence_identification.py:88-181 ranks contaminant candidates by
+    shared k-mers; here a substring-containment broadcast join with
+    best-match-per-shingle via row_number).
+
+    boilerplate: (name string, content string) — small, broadcast.
+    """
+    joined = overrep.join(
+        F.broadcast(boilerplate),
+        F.col("content").contains(F.col("shingle")),
+        "left",
+    )
+    w = W.partitionBy("shingle").orderBy(F.asc_nulls_last("name"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("shingle", "count", F.col("name").alias("best_match"))
+        .orderBy(F.desc("count"), "shingle")
+    )
+
+
+def per_host_report(metric_df: DataFrame) -> DataFrame:
+    """Per-host quality — the PerTileQuality transplant (reference:
+    _qcmodule.c:2971-3395 accumulates (tile, position)->error sums;
+    report_modules.py:1494-1545 flags tiles deviating from the mean).
+
+    groupBy(host) then a global-window deviation column; hosts are
+    Zipf-skewed so AQE skew handling + salted upstream partitioning
+    apply (north rule).
+    """
+    per_host = (
+        metric_df.select(host_col(), "keep", "perplexity", "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("docs"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            F.avg("perplexity").alias("mean_ppl"),
+            F.avg("n_chars").alias("mean_chars"),
+        )
+    )
+    w = W.partitionBy()
+    return (
+        per_host.withColumn("global_keep_rate", F.avg("keep_rate").over(w))
+        .withColumn("keep_rate_deviation", F.col("keep_rate") - F.col("global_keep_rate"))
+        .withColumn("flagged", F.col("keep_rate_deviation") < -0.3)
+        .orderBy(F.desc("docs"), "host")
+    )
+
+
+def time_window_report(metric_df: DataFrame, window: str = "1 day") -> DataFrame:
+    """Event-time report over warc_ts — the NanoStats transplant
+    (reference: report_modules.py:1951-2045: per-time-slot reads, bases,
+    distinct channels).  Tumbling windows via F.window; distinct hosts
+    exact (count_distinct) since host cardinality is tiny relative to
+    docs; at extreme cardinality swap approx_count_distinct.
+    """
+    return (
+        metric_df.select(F.window("warc_ts", window).alias("w"), host_col(), "n_bytes", "keep")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_bytes").alias("bytes"),
+            F.countDistinct("host").alias("distinct_hosts"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "docs",
+            "bytes",
+            "distinct_hosts",
+            "keep_rate",
+        )
+        .orderBy("window_start")
+    )
+
+
+def length_distribution(metric_df: DataFrame, bucket: int = 100) -> DataFrame:
+    """Doc-length histogram with cumulative fractions — the
+    SequenceLengthDistribution transplant (reference:
+    report_modules.py:574-636, incl. exact percentiles and N50 by
+    cumulative walk).  The cumsum runs over the *histogram* (tiny), not
+    the docs, exactly like the reference walks its histogram.
+    """
+    hist = (
+        metric_df.groupBy((F.floor(F.col("n_chars") / bucket) * bucket).alias("length_bucket"))
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+    w = W.orderBy("length_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    totals = hist.agg(F.sum("docs"), F.sum("chars")).first()
+    total_docs, total_chars = totals[0] or 0, totals[1] or 0
+    return (
+        hist.withColumn("cum_docs", F.sum("docs").over(w))
+        .withColumn("cum_chars", F.sum("chars").over(w))
+        .withColumn("cum_doc_frac", F.col("cum_docs") / F.lit(max(total_docs, 1)))
+        .withColumn("cum_char_frac", F.col("cum_chars") / F.lit(max(total_chars, 1)))
+        .orderBy("length_bucket")
+    )
+
+
+def n50_analogue(metric_df: DataFrame) -> DataFrame:
+    """Length at which cumulative chars (ascending) cross 50% / 90% of the
+    corpus — N50/N90 transplant (reference: report_modules.py:621-633)."""
+    dist = length_distribution(metric_df, bucket=1)
+    out = dist.select(
+        F.min(F.when(F.col("cum_char_frac") >= 0.5, F.col("length_bucket"))).alias("n50_length"),
+        F.min(F.when(F.col("cum_char_frac") >= 0.9, F.col("length_bucket"))).alias("n90_length"),
+    )
+    return out
