@@ -22,6 +22,7 @@ re-specification of sequali's ``seq_index % sample_every`` early-skip
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -205,11 +206,9 @@ def word_stats(texts: list[str]) -> pd.DataFrame:
         words = tokenize(t)
         n_words[i] = len(words)
         if words:
-            mean_wlen[i] = sum(len(w) for w in words) / len(words)
+            mean_wlen[i] = sum(map(len, words)) / len(words)
         if len(words) >= 2:
-            counts: dict[tuple[str, str], int] = {}
-            for a, b in zip(words, words[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + 1
+            counts = Counter(zip(words, words[1:]))
             top_bigram[i] = max(counts.values()) / (len(words) - 1)
         lines = [ln for ln in t.split("\n") if ln.strip()]
         if lines:

@@ -45,6 +45,7 @@ def load_patterns(path: Path | None = None) -> list[ScrubPattern]:
 
 
 _PATTERNS: list[ScrubPattern] | None = None
+_PREFILTER: re.Pattern | None = None
 
 
 def get_patterns() -> list[ScrubPattern]:
@@ -52,6 +53,19 @@ def get_patterns() -> list[ScrubPattern]:
     if _PATTERNS is None:
         _PATTERNS = load_patterns()
     return _PATTERNS
+
+
+def _get_prefilter() -> re.Pattern:
+    """One alternation of all patterns: a single scan decides whether a
+    doc needs the full battery at all — the analogue of sequali's bitap
+    packing many probes into one machine-word pass (_qcmodule.c:2506-2518).
+    Most documents are clean, so this removes ~|patterns|× regex work."""
+    global _PREFILTER
+    if _PREFILTER is None:
+        _PREFILTER = re.compile(
+            "|".join(f"(?:{p.regex.pattern})" for p in get_patterns())
+        )
+    return _PREFILTER
 
 
 def scrub_batch(texts: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
@@ -62,15 +76,23 @@ def scrub_batch(texts: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
     per pattern name plus 'pii_hits' / 'tox_hits' totals).
     """
     patterns = get_patterns()
-    scrubbed = texts
-    counts = {}
-    for p in patterns:
-        n = scrubbed.str.count(p.regex)
-        counts[f"hits_{p.name}"] = n.to_numpy(dtype=np.int64, na_value=0)
-        scrubbed = scrubbed.str.replace(p.regex, p.replacement, regex=True)
+    pre = _get_prefilter()
+    n = len(texts)
+    vals = texts.to_numpy(dtype=object)
+    dirty_idx = [i for i, t in enumerate(vals) if t and pre.search(t)]
+    counts = {
+        f"hits_{p.name}": np.zeros(n, dtype=np.int64) for p in patterns
+    }
+    scrubbed = vals.copy()
+    for i in dirty_idx:
+        t = vals[i]
+        for p in patterns:
+            t, k = p.regex.subn(p.replacement, t)
+            counts[f"hits_{p.name}"][i] = k
+        scrubbed[i] = t
     frame = pd.DataFrame(counts, index=texts.index)
     pii_cols = [f"hits_{p.name}" for p in patterns if p.category == "pii"]
     tox_cols = [f"hits_{p.name}" for p in patterns if p.category == "toxicity"]
     frame["pii_hits"] = frame[pii_cols].sum(axis=1) if pii_cols else 0
     frame["tox_hits"] = frame[tox_cols].sum(axis=1) if tox_cols else 0
-    return scrubbed, frame
+    return pd.Series(scrubbed, index=texts.index), frame
