@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus pipeline docs/sec extras}.
+
+--scaling: run the same pipeline-throughput job at local[8] and
+local[32] in fresh subprocesses on identical input and print/record
+throughput at both plus scaling efficiency (the in-sandbox evidence for
+the north rule's N -> 4N executor criterion) into BENCH/BASELINE.md.
+
+--throughput-only: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "pages_quality_labels",
+    "doc_char_ratios",
+    "doc_overrep_shingles",
+    "doc_quality_score",
+    "dedup_fingerprint_histogram",
+    "dedup_minhash_pairs",
+    "events_hourly_report",
+    "events_sessionize",
+    "emb_brute_force_topk",
+    "emb_lsh_topk",
+    "rel_pricing_summary",
+    "rel_top_unshipped",
+]
+
+PIPELINE_BENCH_ROWS = 64_000
+
+
+def _spark(cpus: int):
+    from sequali_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def _pages_bench_df(spark, n_rows: int):
+    """Deterministic pages table generated distributed: one seeded chunk
+    per partition (url numbering offset per chunk -> no collisions)."""
+    # FIXED chunk grid (independent of parallelism!) so every config
+    # processes the identical corpus — the scaling comparison is
+    # same-input by construction.  64 chunks also over-decompose the job
+    # (2 tasks/core at 32) for scheduler-level load balancing.
+    parts = 64
+    per = n_rows // parts
+    meta = [(i, per + (n_rows - per * parts if i == parts - 1 else 0)) for i in range(parts)]
+    meta_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(meta, parts), schema="pid long, rows long"
+    )
+
+    def _gen(it):
+        from sequali_spark.fixtures import generate_pages
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                chunk = generate_pages(
+                    int(row["rows"]), seed=42 + int(row["pid"]), base_index=int(row["pid"]) * per
+                )
+                yield chunk[["url", "warc_ts", "html", "text", "lang"]]
+
+    return meta_df.mapInPandas(
+        _gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+LABEL_COLUMNS = [
+    "url", "keep", "drop_reasons", "lang_pred", "perplexity",
+    "fingerprint", "pii_hits", "tox_hits", "sampled", "scrubbed_text",
+]
+
+
+def ensure_pages_parquet(n_rows: int, path: str | None = None) -> str:
+    """Generate the deterministic bench corpus to parquet once; every
+    parallelism config then reads the identical files (same-input
+    scaling evidence by construction)."""
+    path = path or f"/tmp/sequali_bench_pages_{n_rows}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = _spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    _pages_bench_df(spark, n_rows).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def pipeline_throughput(cpus: int, n_rows: int) -> dict:
+    """docs/sec of the realistic end-to-end label job: parquet scan ->
+    single Arrow metric stage (output pruned to the label sink schema)
+    -> parquet label sink.  Warmup pass first (python workers + models),
+    then the timed pass."""
+    from sequali_spark.pipeline import quality_pipeline
+
+    src = ensure_pages_parquet(n_rows)
+    spark = _spark(cpus)
+    pages = spark.read.parquet(src)
+    n = pages.count()
+    sink = f"/tmp/sequali_bench_labels_{cpus}"
+
+    def job():
+        out = quality_pipeline(
+            spark, pages, repartition=False, output_columns=LABEL_COLUMNS
+        )
+        out.write.mode("overwrite").parquet(sink)
+
+    job()  # warmup
+    t0 = time.time()
+    job()
+    elapsed = time.time() - t0
+    kept = spark.read.parquet(sink).filter("keep").count()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "rows": n,
+        "kept": int(kept),
+        "seconds": round(elapsed, 3),
+        "docs_per_sec": round(n / elapsed, 1),
+    }
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry_mod
+
+    spark = _spark(cpus)
+    queries = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    # pipeline throughput on the same session's core count
+    from sequali_spark.pipeline import quality_pipeline
+
+    pages = _pages_bench_df(spark, PIPELINE_BENCH_ROWS).persist()
+    n = pages.count()
+    out = quality_pipeline(spark, pages, repartition=False)
+    from pyspark.sql import functions as F
+
+    kept_agg = out.agg(F.sum(F.col("keep").cast("long")))
+    kept_agg.first()  # warmup
+    t0 = time.time()
+    kept_agg.first()
+    pipe_sec = time.time() - t0
+    per_query["pipeline_64k_pages"] = round(pipe_sec, 3)
+    pages.unpersist()
+    spark.stop()
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "pipeline_docs_per_sec": round(n / pipe_sec, 1),
+        "pipeline_rows": n,
+        "cpus": cpus,
+    }
+
+
+def run_scaling(rows: int) -> dict:
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus), "--rows", str(rows)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+    summary = {
+        "rows": rows,
+        "local8_docs_per_sec": results[8]["docs_per_sec"],
+        "local32_docs_per_sec": results[32]["docs_per_sec"],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — pipeline throughput & scaling evidence\n\n"
+            "The north rule's two-cluster-size criterion (N vs 4N executors,\n"
+            "efficiency >= 0.8) evidenced in-sandbox by running the identical\n"
+            "pipeline job at two parallelism levels on identical input\n"
+            "(deterministic generated pages table).\n\n"
+            f"| config | rows | seconds | docs/sec |\n|---|---|---|---|\n"
+            f"| local[8] | {results[8]['rows']} | {results[8]['seconds']} | {results[8]['docs_per_sec']} |\n"
+            f"| local[32] | {results[32]['rows']} | {results[32]['seconds']} | {results[32]['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (8 -> 32 threads): {eff:.3f}** "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
+            "Single-core kernel throughput: ~2200 docs/sec (vectorized NumPy\n"
+            "metric battery; see functions/).\n"
+        )
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--throughput-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--rows", type=int, default=PIPELINE_BENCH_ROWS)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    if args.throughput_only:
+        print(json.dumps(pipeline_throughput(args.cpus, args.rows)))
+    elif args.scaling:
+        print(json.dumps(run_scaling(args.rows)))
+    else:
+        print(json.dumps(run_headline(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,8 +140,13 @@ def _junk_text(rng: np.random.RandomState, kind: int) -> str:
     return "start " + ch * int(rng.randint(40, 200)) + " end"
 
 
-def generate_pages(n_rows: int, seed: int = 42, big_doc_chars: int = 100_000) -> pd.DataFrame:
-    """Generate the pages table. Deterministic per (n_rows, seed)."""
+def generate_pages(
+    n_rows: int, seed: int = 42, big_doc_chars: int = 100_000, base_index: int = 0
+) -> pd.DataFrame:
+    """Generate the pages table. Deterministic per (n_rows, seed).
+
+    ``base_index`` offsets the url numbering so multiple deterministic
+    chunks (e.g. one per Spark partition) never collide on url."""
     rng = np.random.RandomState(seed)
 
     # Zipf-skewed host assignment: host 0 is the mega-host (exercises
@@ -169,7 +174,7 @@ def generate_pages(n_rows: int, seed: int = 42, big_doc_chars: int = 100_000) ->
 
     for i in range(n_rows):
         host = int(host_ids[i])
-        url = f"https://host{host:03d}.example.org/page-{i:08d}"
+        url = f"https://host{host:03d}.example.org/page-{base_index + i:08d}"
         cls = classes[i]
         lang = "en"
         if cls == "clean_en":

@@ -22,7 +22,7 @@ re-specification of sequali's ``seq_index % sample_every`` early-skip
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -84,9 +84,9 @@ def char_class_counts(texts: list[bytes]) -> np.ndarray:
     nonempty = offsets[1:] > starts
     red_idx = np.minimum(starts, len(buf) - 1)
     for k in range(N_CLASSES):
-        sums = np.add.reduceat((classes == k).astype(np.int64), red_idx)
+        sums = np.add.reduceat((classes == k).view(np.int8), red_idx, dtype=np.int64)
         out[:, k] = np.where(nonempty, sums, 0)
-    sums = np.add.reduceat(upper.astype(np.int64), red_idx)
+    sums = np.add.reduceat(upper.view(np.int8), red_idx, dtype=np.int64)
     out[:, N_CLASSES] = np.where(nonempty, sums, 0)
     # reduceat quirk: when starts[i] == starts[i+1] (empty doc), the segment
     # for i covers the *next* doc; the nonempty mask already zeroes those,
@@ -193,37 +193,125 @@ def tokenize(text: str) -> list[str]:
     return text.lower().split()
 
 
+_TOK_CACHE: dict[str, int] = {}
+_TOK_CACHE_CAP = 1 << 20
+
+
+def hash_tokens(toks: list[str]) -> np.ndarray:
+    """crc32 per token (uint64 array), memoized — deterministic across
+    processes, C-speed.  Shared by the repetition metrics and the
+    perplexity LM so one tokenization+hash pass serves both."""
+    cache = _TOK_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = zlib.crc32(t.encode("utf-8"))
+            if len(cache) < _TOK_CACHE_CAP:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
+def flatten_tokens(texts: list[str], max_tokens: int | None = None) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """One tokenization pass for the whole batch: returns (flat token
+    list, per-doc lengths, offsets[n+1])."""
+    n = len(texts)
+    tok_lists = [tokenize(t) for t in texts]
+    if max_tokens is not None:
+        tok_lists = [t[:max_tokens] for t in tok_lists]
+    lengths = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat: list[str] = []
+    for t in tok_lists:
+        flat.extend(t)
+    return flat, lengths, offsets
+
+
+_PAIR_BITS = 44
+
+
+def top_bigram_fraction(
+    hashes: np.ndarray, lengths: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """Most-frequent (hashed) token bigram as a fraction of a doc's
+    bigrams — fully vectorized: one radix key (doc_id ‖ 44-bit pair
+    hash), one sort, run-length counts, per-doc max via reduceat.
+    The repetition detector of the rule battery (OverrepresentedSequences
+    spirit, reference _qcmodule.c:3416-4236, collapsed to per-doc)."""
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.float64)
+    if len(hashes) < 2:
+        return out
+    doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    valid = doc_of_tok[:-1] == doc_of_tok[1:]  # pairs inside one doc only
+    pair = ((hashes[:-1] << np.uint64(32)) ^ hashes[1:])[valid]
+    doc_of_pair = doc_of_tok[:-1][valid].astype(np.uint64)
+    key = (doc_of_pair << np.uint64(_PAIR_BITS)) ^ (pair & np.uint64((1 << _PAIR_BITS) - 1))
+    key = np.sort(key)
+    if len(key) == 0:
+        return out
+    change = np.flatnonzero(np.diff(key) != 0)
+    starts = np.concatenate(([0], change + 1))
+    counts = np.diff(np.concatenate((starts, [len(key)])))
+    udocs = (key[starts] >> np.uint64(_PAIR_BITS)).astype(np.int64)
+    doc_start = np.flatnonzero(np.concatenate(([True], np.diff(udocs) != 0)))
+    maxima = np.maximum.reduceat(counts, doc_start)
+    present = udocs[doc_start]
+    out[present] = maxima / (lengths[present] - 1)
+    return out
+
+
 def word_stats(texts: list[str]) -> pd.DataFrame:
+    """Per-doc token metrics (convenience wrapper: one tokenize+hash
+    pass, then :func:`word_stats_from_tokens`)."""
+    flat, lengths, offsets = flatten_tokens(texts)
+    return word_stats_from_tokens(texts, flat, lengths, offsets, hash_tokens(flat))
+
+
+def word_stats_from_tokens(
+    texts: list[str],
+    flat: list[str],
+    lengths: np.ndarray,
+    offsets: np.ndarray,
+    hashes: np.ndarray,
+) -> pd.DataFrame:
     """Per-doc token metrics: n_words, mean_word_len, top-bigram fraction,
     duplicate-line fraction (by chars) — the repetition battery, analogue of
-    sequali's overrepresented/duplication per-read views."""
+    sequali's overrepresented/duplication per-read views.  Token stream
+    precomputed once per batch and shared with the perplexity scorer."""
     n = len(texts)
-    n_words = np.zeros(n, dtype=np.int64)
-    mean_wlen = np.zeros(n, dtype=np.float64)
-    top_bigram = np.zeros(n, dtype=np.float64)
+    tok_lens = np.fromiter(map(len, flat), np.int64, len(flat))
+    safe_len = np.maximum(lengths, 1)
+    red_idx = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
+    sums = (
+        np.add.reduceat(tok_lens, red_idx)
+        if len(flat)
+        else np.zeros(n, dtype=np.int64)
+    )
+    mean_wlen = np.where(lengths > 0, sums / safe_len, 0.0)
+
+    top_bigram = top_bigram_fraction(hashes, lengths, offsets)
+
     dup_line = np.zeros(n, dtype=np.float64)
     for i, t in enumerate(texts):
-        words = tokenize(t)
-        n_words[i] = len(words)
-        if words:
-            mean_wlen[i] = sum(map(len, words)) / len(words)
-        if len(words) >= 2:
-            counts = Counter(zip(words, words[1:]))
-            top_bigram[i] = max(counts.values()) / (len(words) - 1)
+        if "\n" not in t:
+            continue
         lines = [ln for ln in t.split("\n") if ln.strip()]
         if lines:
-            seen: dict[str, int] = {}
+            seen: set[str] = set()
             dup_chars = 0
             total_chars = 0
             for ln in lines:
                 total_chars += len(ln)
                 if ln in seen:
                     dup_chars += len(ln)
-                seen[ln] = seen.get(ln, 0) + 1
+                seen.add(ln)
             dup_line[i] = dup_chars / total_chars if total_chars else 0.0
     return pd.DataFrame(
         {
-            "n_words": n_words,
+            "n_words": lengths,
             "mean_word_len": mean_wlen,
             "top_bigram_frac": top_bigram,
             "dup_line_frac": dup_line,

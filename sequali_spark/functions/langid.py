@@ -56,6 +56,10 @@ class LangIdModel:
     def predict(self, texts: list[str], max_chars: int = 400) -> tuple[np.ndarray, np.ndarray]:
         """Returns (lang_codes: object array, confidence: float array).
 
+        Fully vectorized: hashed trigrams of the whole batch are
+        flattened once; per-(doc, lang) scores come from one weight
+        gather + np.add.reduceat per language — no per-doc Python.
+
         Confidence is the softmax margin of the best language. Documents
         with no trigrams get lang='und', confidence 0 — the analogue of
         sequali's skipped_reason soft-degrade (_qcmodule.c:3136-3148).
@@ -63,18 +67,27 @@ class LangIdModel:
         n = len(texts)
         preds = np.full(n, "und", dtype=object)
         conf = np.zeros(n, dtype=np.float64)
-        for i, t in enumerate(texts):
-            idx = _ngram_hashes(t[:max_chars])
-            if len(idx) == 0:
-                continue
-            counts = np.bincount(idx, minlength=HASH_DIM).astype(np.float64)
-            scores = self.weights @ counts / len(idx)
-            order = np.argsort(scores)
-            best = order[-1]
-            # softmax over per-ngram mean log-probs, temperature-free margin
-            e = np.exp(scores - scores[best])
-            preds[i] = self.langs[best]
-            conf[i] = float(1.0 / e.sum())
+        if n == 0:
+            return preds, conf
+        idx_list = [_ngram_hashes(t[:max_chars]) for t in texts]
+        lengths = np.fromiter((len(ix) for ix in idx_list), np.int64, n)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return preds, conf
+        flat = np.concatenate([ix for ix in idx_list if len(ix)])
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        red_idx = np.minimum(offsets[:-1], len(flat) - 1)
+        scores = np.empty((len(self.langs), n), dtype=np.float64)
+        safe_len = np.maximum(lengths, 1)
+        for li in range(len(self.langs)):
+            scores[li] = np.add.reduceat(self.weights[li][flat], red_idx) / safe_len
+        best = scores.argmax(axis=0)
+        e = np.exp(scores - scores[best, np.arange(n)][None, :])
+        c = 1.0 / e.sum(axis=0)
+        lang_arr = np.array(self.langs, dtype=object)
+        preds[nonempty] = lang_arr[best[nonempty]]
+        conf[nonempty] = c[nonempty]
         return preds, conf
 
 

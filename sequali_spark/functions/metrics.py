@@ -89,14 +89,20 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     n_bytes = cls_counts.sum(axis=1) - cls_counts[:, kernels.N_CLASSES]
     denom = np.maximum(n_bytes, 1).astype(np.float64)
 
-    ws = kernels.word_stats(list(texts))
+    # ONE tokenize+hash pass feeds repetition metrics AND perplexity
+    texts_list = list(texts)
+    flat, tok_lengths, tok_offsets = kernels.flatten_tokens(texts_list)
+    tok_hashes = kernels.hash_tokens(flat)
+    ws = kernels.word_stats_from_tokens(texts_list, flat, tok_lengths, tok_offsets, tok_hashes)
     run = kernels.max_char_run(raw_bytes)
     fingerprints = kernels.dedup_fingerprints(raw_bytes)
 
-    lang_pred, lang_conf = langid.get_model().predict(list(texts))
-    ppl = perplexity.get_model().perplexities(list(texts))
+    lang_pred, lang_conf = langid.get_model().predict(texts_list)
+    ppl = perplexity.get_model().perplexities_hashed(tok_hashes, tok_lengths, tok_offsets)
 
-    scrubbed, hit_frame = scrub.scrub_batch(texts)
+    scrubbed, hit_frame = scrub.scrub_batch(
+        texts, digit_counts=cls_counts[:, kernels.CLASS_DIGIT]
+    )
     scrubbed_bytes = [t.encode("utf-8") for t in scrubbed]
 
     html = pdf["html"]
@@ -151,7 +157,14 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     reasons = _apply_rules(out)
     out["keep"] = [len(r) == 0 for r in reasons]
     out["drop_reasons"] = reasons
-    out["scrubbed_text"] = scrubbed_bytes
+    # Contract: scrubbed_text is NULL when no pattern fired (text is
+    # unchanged) — sinks coalesce(scrubbed_text, encode(text)).  This
+    # halves the bytes crossing the Arrow boundary on mostly-clean
+    # corpora (cf. sequali emitting only aggregate state, never reads).
+    touched = (hit_frame["pii_hits"].to_numpy() + hit_frame["tox_hits"].to_numpy()) > 0
+    out["scrubbed_text"] = [
+        scrubbed_bytes[i] if touched[i] else None for i in range(n)
+    ]
     return out
 
 

@@ -23,18 +23,15 @@ time; every executor and the oracle score identically.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 
-from sequali_spark.functions.kernels import tokenize
+from sequali_spark.functions.kernels import flatten_tokens, hash_tokens, tokenize
 
 LM_DIM = 1 << 16
 ADD_K = 0.1
 LAMBDA_BIGRAM = 0.7  # interpolation weight: p = λ·p(w|prev) + (1-λ)·p(w)
 MAX_TOKENS = 512  # score at most the first N tokens (bounded work per doc)
-_BIGRAM_MIX = 31
-_CACHE_CAP = 1 << 20
+_BIGRAM_MIX = np.uint64(31)
 
 
 class NgramLM:
@@ -42,58 +39,60 @@ class NgramLM:
         uni = np.zeros(LM_DIM, dtype=np.float64)
         bi = np.zeros(LM_DIM, dtype=np.float64)
         total = 0
-        self._tok_cache: dict[str, int] = {}
         for t in texts:
-            h = self._hash_tokens(tokenize(t))
+            h = hash_tokens(tokenize(t))
             total += len(h)
-            np.add.at(uni, h % LM_DIM, 1.0)
+            np.add.at(uni, (h % np.uint64(LM_DIM)).astype(np.int64), 1.0)
             if len(h) > 1:
-                np.add.at(bi, (h[:-1] * _BIGRAM_MIX + h[1:]) % LM_DIM, 1.0)
+                with np.errstate(over="ignore"):
+                    bidx = ((h[:-1] * _BIGRAM_MIX + h[1:]) % np.uint64(LM_DIM)).astype(np.int64)
+                np.add.at(bi, bidx, 1.0)
         self.uni = uni
         self.bi = bi
         self.total = max(total, 1)
         self._empty_ppl = float(self.total + ADD_K * LM_DIM) / ADD_K
 
-    def _hash_tokens(self, toks: list[str]) -> np.ndarray:
-        cache = self._tok_cache
-        out = np.empty(len(toks), dtype=np.int64)
-        for i, t in enumerate(toks):
-            h = cache.get(t)
-            if h is None:
-                h = zlib.crc32(t.encode("utf-8"))
-                if len(cache) < _CACHE_CAP:
-                    cache[t] = h
-            out[i] = h
-        return out
-
     def perplexities(self, texts: list[str]) -> np.ndarray:
         """exp(mean negative log prob) per doc, interpolated bigram/unigram.
+        Convenience wrapper: tokenizes, hashes, then scores."""
+        flat, lengths, offsets = flatten_tokens(texts)
+        return self.perplexities_hashed(hash_tokens(flat), lengths, offsets)
+
+    def perplexities_hashed(
+        self, hashes: np.ndarray, lengths: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Score a pre-tokenized, pre-hashed batch token stream (shared
+        with the repetition metrics — one tokenize+hash pass per batch).
+        Each doc is truncated to its first MAX_TOKENS tokens.
 
         Empty docs score the vocabulary-uniform perplexity (soft-degrade,
         never a failure — cf. sequali's skipped_reason pattern)."""
-        n_docs = len(texts)
+        n_docs = len(lengths)
         out = np.full(n_docs, self._empty_ppl, dtype=np.float64)
         if n_docs == 0:
             return out
-        tok_lists = [tokenize(t)[:MAX_TOKENS] for t in texts]
-        lengths = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+        if lengths.max(initial=0) > MAX_TOKENS:
+            pos_in_doc = np.arange(len(hashes), dtype=np.int64) - np.repeat(
+                offsets[:-1], lengths
+            )
+            keep_tok = pos_in_doc < MAX_TOKENS
+            hashes = hashes[keep_tok]
+            lengths = np.minimum(lengths, MAX_TOKENS)
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
         nonempty = lengths > 0
         if not nonempty.any():
             return out
-        flat: list[str] = []
-        for toks in tok_lists:
-            flat.extend(toks)
-        h = self._hash_tokens(flat)
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
+        h = hashes
 
-        uni_idx = h % LM_DIM
+        uni_idx = (h % np.uint64(LM_DIM)).astype(np.int64)
         p_uni = (self.uni[uni_idx] + ADD_K) / (self.total + ADD_K * LM_DIM)
         # bigram probability for every adjacent pair in the flat stream;
         # pairs that cross a document boundary are masked out below.
         p = p_uni.copy()
         if len(h) > 1:
-            bi_idx = (h[:-1] * _BIGRAM_MIX + h[1:]) % LM_DIM
+            with np.errstate(over="ignore"):
+                bi_idx = ((h[:-1] * _BIGRAM_MIX + h[1:]) % np.uint64(LM_DIM)).astype(np.int64)
             denom = self.uni[uni_idx[:-1]] + ADD_K * LM_DIM
             p_bi = (self.bi[bi_idx] + ADD_K) / denom
             mixed = LAMBDA_BIGRAM * p_bi + (1.0 - LAMBDA_BIGRAM) * p_uni[1:]

@@ -68,18 +68,50 @@ def _get_prefilter() -> re.Pattern:
     return _PREFILTER
 
 
-def scrub_batch(texts: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
+TOX_LITERALS = ["frakking", "smegging", "gorram", "felgercarb", "shazbot"]
+_DEFAULT_NAMES = {"email", "phone", "ipv4", "ssn", "tox_grawlix"}
+
+
+def _patterns_are_default() -> bool:
+    return {p.name for p in get_patterns()} == _DEFAULT_NAMES
+
+
+def _maybe_dirty(t: str, has_digits: bool) -> bool:
+    """O(len) literal pre-screen: every pattern in the default battery
+    requires a digit, an '@', or a toxicity literal — docs with none can
+    skip the regex battery entirely."""
+    if has_digits or "@" in t:
+        return True
+    return any(w in t for w in TOX_LITERALS)
+
+
+def scrub_batch(
+    texts: pd.Series, digit_counts: np.ndarray | None = None
+) -> tuple[pd.Series, pd.DataFrame]:
     """Apply every pattern in declared order (first-listed wins on overlap,
     like sequali's first-occurrence-per-read semantics, _qcmodule.c:2643-2672).
 
     Returns (scrubbed texts, per-doc hit-count frame with one int column
     per pattern name plus 'pii_hits' / 'tox_hits' totals).
+
+    ``digit_counts`` (per-doc digit totals, already computed by the char
+    classifier) enables the literal pre-screen fast path.
     """
     patterns = get_patterns()
     pre = _get_prefilter()
     n = len(texts)
     vals = texts.to_numpy(dtype=object)
-    dirty_idx = [i for i, t in enumerate(vals) if t and pre.search(t)]
+    # literal fast path is only sound for the default battery (whose
+    # patterns all require a digit, '@', or a toxicity literal)
+    use_fast = digit_counts is not None and _PATTERNS is not None and _patterns_are_default()
+    if use_fast:
+        dirty_idx = [
+            i
+            for i, t in enumerate(vals)
+            if t and _maybe_dirty(t, bool(digit_counts[i])) and pre.search(t)
+        ]
+    else:
+        dirty_idx = [i for i, t in enumerate(vals) if t and pre.search(t)]
     counts = {
         f"hits_{p.name}": np.zeros(n, dtype=np.int64) for p in patterns
     }

@@ -27,7 +27,33 @@ from sequali_spark.functions.metrics import METRIC_SCHEMA_DDL, compute_metrics
 PAGES_INPUT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
-def run_metric_stage(pages: DataFrame) -> DataFrame:
+def _schema_subset(columns: list[str]) -> str:
+    fields = {}
+    for part in _split_ddl(METRIC_SCHEMA_DDL):
+        name = part.strip().split(" ", 1)[0]
+        fields[name] = part.strip()
+    return ", ".join(fields[c] for c in columns)
+
+
+def _split_ddl(ddl: str) -> list[str]:
+    """Split a DDL string on top-level commas (array<...> contains none
+    that nest further than <>)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def run_metric_stage(pages: DataFrame, output_columns: list[str] | None = None) -> DataFrame:
     """Apply the full per-document metric battery in a single vectorized
     Python stage. Input: pages DataFrame with the canonical 5 columns.
 
@@ -35,15 +61,23 @@ def run_metric_stage(pages: DataFrame) -> DataFrame:
     analogue of sequali's FastqRecordArrayView batches
     (reference: _qcmodule.c:965-1184); one Python worker pass computes
     every metric, exactly as sequali's loop feeds all 6 modules.
+
+    ``output_columns`` prunes the columns returned across the Arrow
+    boundary — Catalyst cannot prune projections *through* a
+    mapInPandas black box, so jobs that sink a subset declare it here
+    (manual pushdown of the projection into the Python stage).
     """
     pruned = pages.select(*PAGES_INPUT_COLUMNS)
+    cols = output_columns
 
     def _batches(it):
         for pdf in it:
             if len(pdf):
-                yield compute_metrics(pdf)
+                m = compute_metrics(pdf)
+                yield m[cols] if cols else m
 
-    return pruned.mapInPandas(_batches, schema=METRIC_SCHEMA_DDL)
+    schema = _schema_subset(cols) if cols else METRIC_SCHEMA_DDL
+    return pruned.mapInPandas(_batches, schema=schema)
 
 
 def with_partitioning(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -67,12 +101,13 @@ def quality_pipeline(
     pages: DataFrame,
     repartition: bool = True,
     num_partitions: int | None = None,
+    output_columns: list[str] | None = None,
 ) -> DataFrame:
     """Full pipeline: returns the labeled metric DataFrame (one row per
     input page) ready for sinks and corpus aggregates."""
     if repartition:
         pages = with_partitioning(pages, num_partitions)
-    return run_metric_stage(pages)
+    return run_metric_stage(pages, output_columns=output_columns)
 
 
 def labels(metric_df: DataFrame) -> DataFrame:
@@ -81,9 +116,20 @@ def labels(metric_df: DataFrame) -> DataFrame:
     return metric_df.select("url", "keep", "drop_reasons")
 
 
-def scrubbed(metric_df: DataFrame) -> DataFrame:
-    """(url, scrubbed_text BINARY) — byte-exact scrub output."""
-    return metric_df.select("url", "scrubbed_text")
+def scrubbed(metric_df: DataFrame, pages: DataFrame | None = None) -> DataFrame:
+    """(url, scrubbed_text BINARY) — byte-exact scrub output.
+
+    The metric stage emits NULL scrubbed_text for untouched docs (Arrow
+    traffic optimization); joining back to the source text materializes
+    the full byte-exact column when a complete copy is wanted."""
+    if pages is None:
+        return metric_df.select("url", "scrubbed_text")
+    src = pages.select("url", F.encode("text", "utf-8").alias("_orig"))
+    return (
+        metric_df.select("url", "scrubbed_text")
+        .join(src, "url")
+        .select("url", F.coalesce("scrubbed_text", "_orig").alias("scrubbed_text"))
+    )
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -66,8 +66,8 @@ def test_oracle_scrub_byte_exact(pages_small):
         assert "<EMAIL>" in s or "<PHONE>" in s or "<IP>" in s
         assert "@example" not in s
     clean = np.flatnonzero(cls == "clean_en")
-    for i in clean[:50]:  # untouched docs round-trip byte-identically
-        assert scrubbed[i] == texts[i].encode("utf-8")
+    for i in clean[:50]:  # untouched docs: NULL contract (text unchanged)
+        assert scrubbed[i] is None
 
 
 def test_oracle_report_values(pages_small):
