@@ -1,0 +1,59 @@
+"""Kill-and-resume: the north rule's mid-table resumability gate.
+
+Simulates a crash after 3 day-units, resumes, and asserts the final
+output is identical to an uninterrupted run and that no unit was
+processed twice."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequali_spark.runtime import lineage
+from tests.test_pipeline import pages_df
+
+
+@pytest.fixture()
+def pages(spark, pages_tiny):
+    return pages_df(spark, pages_tiny)
+
+
+def test_kill_and_resume(spark, pages, tmp_path):
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+
+    first = lineage.run_resumable(spark, pages, out, lin, max_units=3)
+    assert len(first) == 3  # "crashed" after 3 units
+
+    resumed = lineage.run_resumable(spark, pages, out, lin)
+    assert set(first).isdisjoint(resumed)  # nothing reprocessed
+
+    n_days = pages.select(F.to_date("warc_ts")).distinct().count()
+    assert len(first) + len(resumed) == n_days
+
+    # output identical to an uninterrupted run
+    single_out = str(tmp_path / "labels_single")
+    single_lin = str(tmp_path / "lineage_single")
+    lineage.run_resumable(spark, pages, single_out, single_lin)
+    a = spark.read.parquet(out).orderBy("url").drop("day").toPandas()
+    b = spark.read.parquet(single_out).orderBy("url").drop("day").toPandas()
+    assert a.drop(columns=["drop_reasons"]).equals(b.drop(columns=["drop_reasons"]))
+    assert [list(x) for x in a["drop_reasons"]] == [list(x) for x in b["drop_reasons"]]
+
+    # lineage counters reconcile with the table
+    rep = lineage.lineage_report(spark, lin).collect()[0]
+    assert rep["status"] == "done"
+    assert rep["units"] == n_days
+    assert rep["docs_seen"] == pages.count()
+    assert rep["docs_kept"] == spark.read.parquet(out).filter("keep").count()
+
+
+def test_rerun_is_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+    lineage.run_resumable(spark, pages, out, lin)
+    again = lineage.run_resumable(spark, pages, out, lin)
+    assert again == []  # everything already done
+    # no duplicate rows in output
+    total = spark.read.parquet(out).count()
+    assert total == pages.count()
