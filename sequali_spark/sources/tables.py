@@ -1,0 +1,68 @@
+"""Table IO seam: parquet today, Iceberg behind the same interface.
+
+The north rule mandates Iceberg tables; the sandbox has no Iceberg
+runtime jar, so every reader/writer in the engine goes through this
+seam (SURVEY.md §7.4 'Iceberg in-sandbox').  The Iceberg
+implementation differs only in: catalog-name paths instead of file
+paths, MERGE INTO for idempotent label upserts (instead of dynamic
+partition overwrite), and hidden partitioning (days(warc_ts),
+bucket(N, url)) declared at table creation instead of per-write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class TableIO:
+    """Engine-wide table access. ``fmt`` is 'parquet' or 'iceberg'."""
+
+    spark: SparkSession
+    fmt: str = "parquet"
+
+    def read(self, ref: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.format("iceberg").load(ref)
+        return self.spark.read.parquet(ref)
+
+    def write_partitioned(self, df: DataFrame, ref: str, partition_col: str) -> None:
+        """Idempotent per-partition write: Iceberg MERGE/overwrite-by-
+        filter; parquet dynamic partition overwrite."""
+        if self.fmt == "iceberg":
+            (
+                df.writeTo(ref)
+                .overwritePartitions()
+            )
+            return
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(ref)
+
+    def create_pages_table_sql(self, ref: str) -> str:
+        """The Iceberg DDL the pipeline targets in production — hidden
+        partitioning by warc_ts day + url bucket (the north rule's
+        'warc_ts buckets with salted repartitioning' at the storage
+        layer)."""
+        return (
+            f"CREATE TABLE IF NOT EXISTS {ref} (\n"
+            "  url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING\n"
+            ") USING iceberg\n"
+            "PARTITIONED BY (days(warc_ts), bucket(64, url))"
+        )
+
+
+def get_table_io(spark: SparkSession, prefer_iceberg: bool = True) -> TableIO:
+    fmt = "iceberg" if (prefer_iceberg and iceberg_available(spark)) else "parquet"
+    return TableIO(spark, fmt)

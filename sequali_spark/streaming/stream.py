@@ -1,0 +1,81 @@
+"""Structured Streaming variant of the quality pipeline.
+
+The reference is itself a one-pass streaming engine over a file
+(reference: src/sequali/__main__.py:279-306 — incremental batches into
+bounded-state accumulators).  Batch Spark already preserves the
+single-pass property; this module adds the genuinely-streaming
+deployment: a file-source stream of page parquet drops ->
+the same Arrow metric stage -> labels sink + watermarked
+event-time aggregates, exactly sequali's scan -> accumulate -> report
+DAG with late-data semantics the reference never needed (bounded
+input) but an always-on crawl feed does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sequali_spark.pipeline import run_metric_stage
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream: each new parquet drop under ``path`` is a
+    micro-batch (the analogue of the reference's chunked file scan)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_labels(pages_stream: DataFrame, output_columns: list[str] | None = None) -> DataFrame:
+    """The metric battery applied per micro-batch — mapInPandas is
+    streaming-compatible (stateless per-row transform)."""
+    return run_metric_stage(pages_stream, output_columns=output_columns)
+
+
+def streaming_time_report(pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window ingest report over warc_ts — the
+    NanoStats time-series (A17) with late-data handling: rows later than
+    the watermark are dropped from their window instead of reopening it.
+    """
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        pages_stream.select("warc_ts", host, F.length("text").alias("n_chars"))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.approx_count_distinct("host").alias("approx_hosts"),
+        )
+        .select(F.col("w.start").alias("window_start"), "docs", "chars", "approx_hosts")
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    src_path: str,
+    labels_path: str,
+    checkpoint_path: str,
+    output_columns: list[str] | None = None,
+) -> None:
+    """Drain everything currently in the source (Trigger.AvailableNow)
+    into the labels sink, exactly-once via the streaming checkpoint —
+    the streaming twin of runtime.lineage: the checkpoint directory
+    plays the lineage table's role and resume-on-restart is free."""
+    stream = read_pages_stream(spark, src_path)
+    labels = streaming_labels(stream, output_columns=output_columns)
+    q = (
+        labels.writeStream.format("parquet")
+        .option("path", labels_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,121 @@
+"""Plan-shape checks (scale habits in CI) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sequali_spark.plans import checks
+from sequali_spark.sources import multimodal, tables
+
+
+# --- plan shape --------------------------------------------------------------
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    df.collect()
+    pushed = checks.pushed_filters(df)
+    assert "lang" in pushed, pushed
+    cols = checks.read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "n_chars", "lang"}
+    assert "text" not in cols  # column pruning: the big column never read
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    from sequali_spark.operators.similarity import brute_force_topk
+
+    df = brute_force_topk(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+
+
+def test_metric_stage_single_python_pass(spark, pages_tiny):
+    from sequali_spark.pipeline import quality_pipeline
+    from tests.test_pipeline import pages_df
+
+    df = quality_pipeline(spark, pages_df(spark, pages_tiny))
+    assert checks.count_python_stages(df) == 1
+
+
+def test_aggregates_reuse_one_metric_stage(spark, pages_tiny):
+    """All corpus aggregates off one persisted metric frame: each
+    downstream agg plan contains ZERO additional python stages (they
+    read the InMemoryRelation)."""
+    from sequali_spark.operators import aggregates as agg
+    from sequali_spark.pipeline import quality_pipeline
+    from tests.test_pipeline import pages_df
+
+    m = quality_pipeline(spark, pages_df(spark, pages_tiny)).persist()
+    m.count()
+    try:
+        for q in (agg.lang_histogram(m), agg.duplication_histogram(m), agg.per_host_report(m)):
+            assert checks.count_python_stages(q) == 0
+            assert "InMemoryTableScan" in checks.physical_plan(q)
+    finally:
+        m.unpersist()
+
+
+# --- table IO seam -----------------------------------------------------------
+
+def test_table_io_falls_back_to_parquet(spark, sf_dir):
+    io = tables.get_table_io(spark)
+    assert io.fmt == "parquet"  # no Iceberg jars in the sandbox
+    df = io.read(f"{sf_dir}/documents.parquet")
+    assert df.count() > 0
+    ddl = io.create_pages_table_sql("catalog.db.pages")
+    assert "days(warc_ts)" in ddl and "bucket(64, url)" in ddl
+
+
+# --- multimodal --------------------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [f"m{i}" for i in range(6)],
+            "kind": ["image", "image", "video", "video", "audio", "image"],
+            "payload": [b"\x89PNGfake1", b"\x89PNGfake2", b"RIFFxx", b"RIFFxx", b"ID3yy", b"\x89PNGfake1"],
+            "meta": [
+                {"width": 64, "height": 64, "duration_ms": 0, "mime": "image/png"},
+                {"width": 32, "height": 32, "duration_ms": 0, "mime": "image/png"},
+                {"width": 0, "height": 0, "duration_ms": 3500, "mime": "video/mp4"},
+                {"width": 0, "height": 0, "duration_ms": 900, "mime": "video/mp4"},
+                {"width": 0, "height": 0, "duration_ms": 2000, "mime": "audio/mp3"},
+                {"width": 64, "height": 64, "duration_ms": 0, "mime": "image/png"},
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_features_deterministic(spark, media_df):
+    out = multimodal.decode_features(media_df).orderBy("media_id").collect()
+    assert len(out) == 6
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in out)
+    # same payload -> same digest + features (m0 and m5)
+    rows = {r["media_id"]: r for r in out}
+    assert rows["m0"]["digest"] == rows["m5"]["digest"]
+    assert rows["m0"]["features"] == rows["m5"]["features"]
+    assert rows["m0"]["digest"] != rows["m1"]["digest"]
+
+
+def test_frame_sample_plan(spark, media_df):
+    frames = multimodal.frame_sample(media_df, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id["m2"]) == [0, 1000, 2000, 3000]  # 3500ms -> 4 frames
+    assert sorted(by_id["m3"]) == [0]  # 900ms -> 1 frame
+    assert "m4" not in by_id  # audio not frame-sampled
+
+
+def test_media_exact_dedup(spark, media_df):
+    feats = multimodal.decode_features(media_df)
+    dups = multimodal.media_dedup_candidates(feats).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_copies"] == 2
+    assert dups[0]["keeper"] == "m0"

@@ -1,0 +1,64 @@
+"""Structured Streaming variant: drain a parquet drop directory with
+AvailableNow, verify labels match the batch pipeline, and verify
+exactly-once on restart (streaming checkpoint = resume for free)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sequali_spark.oracle import oracle_metrics
+from sequali_spark.streaming import stream as st
+from tests.test_pipeline import pages_df
+
+
+@pytest.fixture()
+def src(spark, pages_tiny, tmp_path):
+    path = str(tmp_path / "drops")
+    pages_df(spark, pages_tiny, partitions=4).write.parquet(path)
+    return path
+
+
+def test_streaming_labels_match_batch(spark, pages_tiny, src, tmp_path):
+    labels = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    st.run_stream_once(spark, src, labels, ckpt, output_columns=["url", "keep", "lang_pred"])
+    got = spark.read.parquet(labels).orderBy("url").toPandas()
+    golden = (
+        oracle_metrics(pages_tiny)[["url", "keep", "lang_pred"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # duplicate-url degenerate rows make per-url comparison ambiguous;
+    # compare the multisets
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, golden.values.tolist())
+    )
+
+
+def test_streaming_exactly_once_restart(spark, pages_tiny, src, tmp_path):
+    labels = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    st.run_stream_once(spark, src, labels, ckpt, output_columns=["url", "keep"])
+    n1 = spark.read.parquet(labels).count()
+    # restart with same checkpoint: nothing new -> no duplicates
+    st.run_stream_once(spark, src, labels, ckpt, output_columns=["url", "keep"])
+    assert spark.read.parquet(labels).count() == n1 == len(pages_tiny)
+
+
+def test_streaming_windowed_report(spark, src, tmp_path):
+    stream = st.read_pages_stream(spark, src)
+    rep = st.streaming_time_report(stream, window="1 day")
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("ingest_report")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from ingest_report").collect()
+    # append mode only emits windows closed by the watermark; with a
+    # bounded drain the final windows stay open — presence of the table
+    # and non-negative counts is the contract here
+    assert all(r["docs"] >= 0 for r in rows)
