@@ -116,6 +116,7 @@ def test_frame_sample_plan(spark, media_df):
 def test_media_exact_dedup(spark, media_df):
     feats = multimodal.decode_features(media_df)
     dups = multimodal.media_dedup_candidates(feats).collect()
-    assert len(dups) == 1
-    assert dups[0]["n_copies"] == 2
-    assert dups[0]["keeper"] == "m0"
+    assert len(dups) == 2  # (m0,m5) share PNG bytes, (m2,m3) share RIFF bytes
+    keepers = sorted(r["keeper"] for r in dups)
+    assert keepers == ["m0", "m2"]
+    assert all(r["n_copies"] == 2 for r in dups)
