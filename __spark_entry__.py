@@ -125,6 +125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopword_fraction": textqc.stopword_fraction,
         "doc_quality_score": textqc.quality_score,
         "doc_overrep_shingles": textqc.overrep_shingles_sql,
+        "doc_position_char_profile": textqc.position_char_profile,
+        "doc_log_length_histogram": textqc.log_length_histogram,
+        "doc_per_source_deviation": textqc.per_source_deviation,
+        "doc_top_per_source": textqc.top_doc_per_source,
+        "doc_deterministic_sample": textqc.deterministic_sample,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -242,6 +247,48 @@ def oracle_sql() -> dict[str, str]:
             ) s
             GROUP BY s.shingle HAVING count(*) >= 3
             ORDER BY cnt DESC, s.shingle LIMIT 50
+        """,
+        "doc_position_char_profile": """
+            SELECT CAST(floor((g.i - 1) / 10) AS BIGINT) AS pos_bucket,
+                   count(*) AS chars,
+                   sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN 'a' AND 'z' THEN 1 ELSE 0 END) AS alpha,
+                   sum(CASE WHEN substr(d.text, g.i, 1) = ' ' THEN 1 ELSE 0 END) AS spaces,
+                   sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS digits
+            FROM documents d,
+                 LATERAL (SELECT unnest(generate_series(1, least(length(d.text), 100))) AS i) g
+            GROUP BY 1 ORDER BY 1
+        """,
+        "doc_log_length_histogram": """
+            SELECT CAST(floor(ln(greatest(n_chars, 1)) / ln(2)) AS BIGINT) AS log2_bucket,
+                   count(*) AS docs, sum(n_chars) AS chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_per_source_deviation": """
+            WITH per AS (
+              SELECT source, count(*) AS docs, sum(n_chars) AS total_chars
+              FROM documents GROUP BY source
+            ), g AS (
+              SELECT *, CAST(floor(10000.0 * total_chars / docs) AS BIGINT) AS mean_chars_bps,
+                     CAST(floor(10000.0 * sum(total_chars) OVER () / sum(docs) OVER ()) AS BIGINT) AS global_mean_bps
+              FROM per
+            )
+            SELECT source, docs, mean_chars_bps, global_mean_bps,
+                   mean_chars_bps - global_mean_bps AS deviation_bps,
+                   mean_chars_bps * 2 < global_mean_bps AS flagged
+            FROM g ORDER BY source
+        """,
+        "doc_top_per_source": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, doc_id AS top_doc_id, n_chars AS top_chars
+            FROM r WHERE rn = 1 ORDER BY source
+        """,
+        "doc_deterministic_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1') ORDER BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

@@ -196,3 +196,96 @@ def overrep_shingles_sql(
         .orderBy(F.desc("cnt"), "shingle")
         .limit(top_k)
     )
+
+
+def position_char_profile(spark: SparkSession, sf_dir: str, max_pos: int = 100, bucket: int = 10) -> DataFrame:
+    """Corpus per-position-bucket char-class profile over the doc prefix —
+    the QCMetrics positional count table transplant (A1/A3, reference
+    _qcmodule.c:1786-1803: count[pos][class] over the read), realized as
+    explode(position) -> groupBy(bucket): Catalyst's partial+final agg
+    plays the reference's uint16-staging/uint64-flush two-level scheme."""
+    d = load(spark, sf_dir, "documents")
+    pos = F.explode(F.sequence(F.lit(1), F.least(F.length("text"), F.lit(max_pos)))).alias("i")
+    chars = d.select(F.col("text"), pos).select(
+        (F.floor((F.col("i") - 1) / bucket)).cast("long").alias("pos_bucket"),
+        F.expr("substr(text, i, 1)").alias("ch"),
+    )
+    return (
+        chars.groupBy("pos_bucket")
+        .agg(
+            F.count("*").alias("chars"),
+            F.sum(F.col("ch").between("a", "z").cast("long")).alias("alpha"),
+            F.sum((F.col("ch") == " ").cast("long")).alias("spaces"),
+            F.sum(F.col("ch").between("0", "9").cast("long")).alias("digits"),
+        )
+        .orderBy("pos_bucket")
+    )
+
+
+def log_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squashed-log re-binning — aggregate_count_matrix's logarithmic
+    bucket scheme for long docs (A16, reference report_modules.py:258-291):
+    the bucket expression is pushed into the agg key."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr("cast(floor(ln(greatest(n_chars, 1)) / ln(2)) as bigint)")
+    return (
+        d.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("log2_bucket")
+    )
+
+
+def per_source_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean-length deviation from the corpus mean, flagged —
+    the PerTileQualityReport deviation/flagging transplant (A19,
+    reference report_modules.py:1494-1545: flag tiles deviating from the
+    per-bucket mean)."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars")
+    )
+    w = W.partitionBy()
+    mean_bps = F.floor(F.lit(10000) * F.col("total_chars") / F.col("docs")).cast("long")
+    global_bps = F.floor(
+        F.lit(10000) * F.sum("total_chars").over(w) / F.sum("docs").over(w)
+    ).cast("long")
+    return (
+        per.select(
+            "source",
+            "docs",
+            mean_bps.alias("mean_chars_bps"),
+            global_bps.alias("global_mean_bps"),
+            (mean_bps - global_bps).alias("deviation_bps"),
+            (mean_bps * 2 < global_bps).alias("flagged"),  # < half the corpus mean
+        )
+        .orderBy("source")
+    )
+
+
+def top_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest doc per source — the argmax-per-group pattern (T3,
+    reference report_modules.py:2295-2310: top adapter tail per length)
+    via row_number over a per-group window."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("doc_id").alias("top_doc_id"), F.col("n_chars").alias("top_chars"))
+        .orderBy("source")
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-8 content-hash sample — the P15 early-skip
+    re-spec (reference _qcmodule.c:3833-3836 samples by sequence index;
+    we key on a content digest so the sample is invariant to
+    partitioning AND expressible in any engine)."""
+    d = load(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5("text"), 1, 1)
+    return (
+        d.filter(nibble.isin("0", "1"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
