@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality pipeline.
+
+Cluster deployment (north rule):
+
+    scripts/package.sh   # builds dist/sequali_spark.zip
+    spark-submit \\
+      --py-files dist/sequali_spark.zip \\
+      --conf spark.sql.adaptive.enabled=true \\
+      --conf spark.sql.files.maxPartitionBytes=16m \\
+      jobs/run_pipeline.py \\
+      --input  <pages parquet dir or iceberg table ref> \\
+      --output <labels dir/ref> --lineage <lineage dir> \\
+      --mode resumable
+
+Modes:
+  batch      one-shot: labels + corpus report, no checkpointing
+  resumable  per-warc_ts-day units with lineage (kill-safe, idempotent)
+  stream     continuous: treat --input as a parquet drop directory
+
+Everything model-side (langid weights, LM counts, scrub patterns) is
+derived deterministically at import or shipped inside the zip — no
+network access on executors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--mode", choices=["batch", "resumable", "stream"], default="batch")
+    ap.add_argument("--report", default=None, help="write the corpus JSON report here")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from sequali_spark.session import get_spark
+
+    spark = get_spark(app_name=f"sequali_pipeline_{args.mode}")
+
+    if args.mode == "stream":
+        from sequali_spark.streaming.stream import run_stream_once
+
+        run_stream_once(
+            spark, args.input, args.output, args.checkpoint or args.output + "_ckpt"
+        )
+        return
+
+    from sequali_spark.pipeline import quality_pipeline, read_pages
+
+    pages = read_pages(spark, args.input)
+
+    if args.mode == "resumable":
+        from sequali_spark.runtime.lineage import lineage_report, run_resumable
+
+        done = run_resumable(
+            spark, pages, args.output, args.lineage or args.output + "_lineage"
+        )
+        print(json.dumps({"processed_units": done}))
+        lineage_report(spark, args.lineage or args.output + "_lineage").show()
+        return
+
+    metrics = quality_pipeline(spark, pages, num_partitions=args.partitions).persist()
+    metrics.write.mode("overwrite").parquet(args.output)
+
+    if args.report:
+        from sequali_spark.operators import aggregates as agg
+
+        report = {
+            "counters": metrics.agg(
+                F.count("*").alias("docs_seen"),
+                F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+            ).first().asDict(),
+            "rule_hits": {r["rule"]: r["hits"] for r in agg.rule_hit_counts(metrics).collect()},
+            "lang_hist": {r["lang"]: r["docs"] for r in agg.lang_histogram(metrics).collect()},
+            "duplication": [r.asDict() for r in agg.duplication_histogram(metrics).collect()],
+            "overrepresented": [
+                r.asDict() for r in agg.overrepresented_shingles(metrics).collect()
+            ],
+        }
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=0, sort_keys=True)
+    metrics.unpersist()
+
+
+if __name__ == "__main__":
+    main()

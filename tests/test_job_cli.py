@@ -1,0 +1,49 @@
+"""End-to-end spark-submit job CLI: package zip + batch run + report."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_package_zip():
+    subprocess.run(["sh", "scripts/package.sh"], cwd=REPO, check=True, capture_output=True)
+    assert os.path.exists(os.path.join(REPO, "dist", "sequali_spark.zip"))
+    import zipfile
+
+    with zipfile.ZipFile(os.path.join(REPO, "dist", "sequali_spark.zip")) as z:
+        names = z.namelist()
+    assert "sequali_spark/pipeline.py" in names
+    assert "sequali_spark/resources/patterns.tsv" in names  # models ship in-zip
+
+
+def test_batch_job_cli(spark, pages_tiny, tmp_path):
+    src = str(tmp_path / "pages")
+    from tests.test_pipeline import pages_df
+
+    pages_df(spark, pages_tiny).write.parquet(src)
+    out = str(tmp_path / "labels")
+    report = str(tmp_path / "report.json")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_pipeline.py",
+            "--input", src, "--output", out, "--mode", "batch", "--report", report,
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.load(open(report))
+    assert rep["counters"]["docs_seen"] == len(pages_tiny)
+    assert 0 < rep["counters"]["docs_kept"] < len(pages_tiny)
+    assert rep["rule_hits"].get("toxicity", 0) > 0
+    labels = spark.read.parquet(out)
+    assert labels.count() == len(pages_tiny)
