@@ -63,10 +63,31 @@ def _concat_bytes(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return buf, offsets
 
 
+def segment_sums(values: np.ndarray, offsets: np.ndarray, out_dtype=np.int64) -> np.ndarray:
+    """Per-document sums over a flat value array with doc offsets[n+1].
+
+    ``np.add.reduceat`` is only safe on strictly-increasing in-bounds
+    indices, so empty docs (start == next start, or start == len) are
+    excluded from the reduce and scattered back as 0 — a naive clamp
+    would silently split the preceding document's segment.
+    """
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=out_dtype)
+    if n == 0 or len(values) == 0:
+        return out
+    nonempty = np.flatnonzero(offsets[1:] > offsets[:-1])
+    if len(nonempty) == 0:
+        return out
+    red = offsets[:-1][nonempty]  # strictly increasing, all < len(values);
+    # a segment spans through any following empty docs, which hold 0 bytes
+    out[nonempty] = np.add.reduceat(values, red, dtype=out_dtype)
+    return out
+
+
 def char_class_counts(texts: list[bytes]) -> np.ndarray:
     """(n_docs, N_CLASSES+1) matrix: per-doc byte-class counts + upper count.
 
-    One pass over a single concatenated buffer with ``np.add.reduceat`` —
+    One pass over a single concatenated buffer with segment sums —
     the NumPy equivalent of sequali's unrolled per-base count loop
     (reference: _qcmodule.c:2004-2031).
     """
@@ -79,19 +100,9 @@ def char_class_counts(texts: list[bytes]) -> np.ndarray:
         return out
     classes = _CLASS_TABLE[buf]
     upper = _UPPER_MASK[buf]
-    # reduceat needs start indices; empty docs (start==next start) must yield 0.
-    starts = offsets[:-1]
-    nonempty = offsets[1:] > starts
-    red_idx = np.minimum(starts, len(buf) - 1)
     for k in range(N_CLASSES):
-        sums = np.add.reduceat((classes == k).view(np.int8), red_idx, dtype=np.int64)
-        out[:, k] = np.where(nonempty, sums, 0)
-    sums = np.add.reduceat(upper.view(np.int8), red_idx, dtype=np.int64)
-    out[:, N_CLASSES] = np.where(nonempty, sums, 0)
-    # reduceat quirk: when starts[i] == starts[i+1] (empty doc), the segment
-    # for i covers the *next* doc; the nonempty mask already zeroes those,
-    # but the segment boundaries for the following docs stay correct because
-    # reduceat uses the raw index list.
+        out[:, k] = segment_sums((classes == k).view(np.int8), offsets)
+    out[:, N_CLASSES] = segment_sums(upper.view(np.int8), offsets)
     return out
 
 
@@ -284,12 +295,7 @@ def word_stats_from_tokens(
     n = len(texts)
     tok_lens = np.fromiter(map(len, flat), np.int64, len(flat))
     safe_len = np.maximum(lengths, 1)
-    red_idx = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
-    sums = (
-        np.add.reduceat(tok_lens, red_idx)
-        if len(flat)
-        else np.zeros(n, dtype=np.int64)
-    )
+    sums = segment_sums(tok_lens, offsets)
     mean_wlen = np.where(lengths > 0, sums / safe_len, 0.0)
 
     top_bigram = top_bigram_fraction(hashes, lengths, offsets)

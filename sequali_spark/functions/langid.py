@@ -74,14 +74,15 @@ class LangIdModel:
         nonempty = lengths > 0
         if not nonempty.any():
             return preds, conf
+        from sequali_spark.functions.kernels import segment_sums
+
         flat = np.concatenate([ix for ix in idx_list if len(ix)])
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
-        red_idx = np.minimum(offsets[:-1], len(flat) - 1)
         scores = np.empty((len(self.langs), n), dtype=np.float64)
         safe_len = np.maximum(lengths, 1)
         for li in range(len(self.langs)):
-            scores[li] = np.add.reduceat(self.weights[li][flat], red_idx) / safe_len
+            scores[li] = segment_sums(self.weights[li][flat], offsets, out_dtype=np.float64) / safe_len
         best = scores.argmax(axis=0)
         e = np.exp(scores - scores[best, np.arange(n)][None, :])
         c = 1.0 / e.sum(axis=0)

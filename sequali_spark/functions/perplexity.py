@@ -102,8 +102,9 @@ class NgramLM:
             p[starts] = p_uni[starts]
 
         neg_log = -np.log(p)
-        red_idx = np.minimum(offsets[:-1], max(len(p) - 1, 0))
-        sums = np.add.reduceat(neg_log, red_idx) if len(p) else np.zeros(n_docs)
+        from sequali_spark.functions.kernels import segment_sums
+
+        sums = segment_sums(neg_log, offsets, out_dtype=np.float64)
         out[nonempty] = np.exp(sums[nonempty] / lengths[nonempty])
         return out
 

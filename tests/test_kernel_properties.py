@@ -1,0 +1,75 @@
+"""Property-based kernel tests (hypothesis) — invariants that must hold
+for ANY input, complementing the exact-value goldens the way sequali's
+numeric-stability tests complement its per-cell asserts
+(reference: tests/test_qc_metrics.py:143-173)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sequali_spark.functions import kernels, scrub
+import pandas as pd
+
+texts = st.lists(st.text(max_size=300), min_size=0, max_size=20)
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_char_class_counts_partition_of_bytes(ts):
+    raw = [t.encode("utf-8") for t in ts]
+    m = kernels.char_class_counts(raw)
+    for i, b in enumerate(raw):
+        assert m[i, : kernels.N_CLASSES].sum() == len(b)  # classes partition bytes
+        assert 0 <= m[i, kernels.N_CLASSES] <= m[i, kernels.CLASS_ALPHA]  # upper ⊆ alpha
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_max_run_bounds(ts):
+    raw = [t.encode("utf-8") for t in ts]
+    runs = kernels.max_char_run(raw)
+    for i, b in enumerate(raw):
+        assert 0 <= runs[i] <= len(b)
+        if b:
+            assert runs[i] >= 1
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_word_stats_invariants(ts):
+    ws = kernels.word_stats(ts)
+    for i, t in enumerate(ts):
+        assert ws["n_words"][i] == len(t.split())
+        assert 0.0 <= ws["top_bigram_frac"][i] <= 1.0
+        assert 0.0 <= ws["dup_line_frac"][i] <= 1.0
+
+
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=10))
+@settings(max_examples=30, deadline=None)
+def test_scrub_idempotent_and_stable(ts):
+    s = pd.Series(ts)
+    once, hits1 = scrub.scrub_batch(s)
+    twice, hits2 = scrub.scrub_batch(once)
+    # scrubbing already-scrubbed text finds nothing new and changes nothing
+    assert (hits2["pii_hits"] == 0).all() or (once == twice).all()
+    for orig, scr, h in zip(ts, once, hits1["pii_hits"] + hits1["tox_hits"]):
+        if h == 0:
+            assert scr == orig  # untouched docs round-trip exactly
+
+
+@given(st.lists(st.text(min_size=1, max_size=100), min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_sampling_deterministic_subset_invariant(urls):
+    s = pd.Series(urls)
+    full = kernels.url_sample_mask(s)
+    half = kernels.url_sample_mask(s[: len(s) // 2 or 1])
+    assert (full[: len(half)] == half).all()  # decision depends only on the url
+
+
+@given(st.binary(max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_shingles_within_anchors(payload):
+    for sh in kernels.doc_shingles(payload):
+        assert len(sh) == kernels.SHINGLE_K
+        assert sh in payload  # every shingle is a real substring
