@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
         "emb_lsh_topk": similarity.lsh_bucketed_topk,
+        "emb_ivf_topk": similarity.ivf_topk,
         "emb_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "emb_knn_label_vote": similarity.knn_label_vote,
         # --- relational substrate (joins/aggregates/top-k) ---

@@ -93,7 +93,8 @@ def _minhash_signature(text: str) -> np.ndarray:
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, signature array<long>, bands array<long>) via one Arrow stage."""
-    schema = f"{id_col} long, signature array<long>, bands array<long>"
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, signature array<long>, bands array<long>"
 
     def _batches(it):
         for pdf in it:
@@ -116,20 +117,20 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
 
 
-def minhash_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+def minhash_pairs_for(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.7
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + signature-similarity verify.
+    """MinHash-LSH candidate generation + signature-similarity verify,
+    over any (id, text) DataFrame.
 
     Scale path: explode band keys -> self-join on (band_idx, band_hash)
     bucket — the canonical shingle->minhash->band->bucket-join plan; the
     join key is a hash so it distributes uniformly, and candidates are
     verified by estimated Jaccard from full signatures before emission.
     """
-    d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d).persist()
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     bands = sigs.select(
-        "doc_id",
+        id_col,
         "signature",
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
@@ -140,11 +141,11 @@ def minhash_near_dup_pairs(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
             F.col("l.signature").alias("sig_a"),
             F.col("r.signature").alias("sig_b"),
         )
@@ -160,6 +161,12 @@ def minhash_near_dup_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    return minhash_pairs_for(load(spark, sf_dir, "documents"), threshold=threshold)
 
 
 # --- SimHash ----------------------------------------------------------------
