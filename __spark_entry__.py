@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_per_source_deviation": textqc.per_source_deviation,
         "doc_top_per_source": textqc.top_doc_per_source,
         "doc_deterministic_sample": textqc.deterministic_sample,
+        "doc_length_percentiles": textqc.length_percentiles_exact,
+        "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -290,6 +292,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_deterministic_sample": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE substr(md5(text), 1, 1) IN ('0', '1') ORDER BY doc_id
+        """,
+        "doc_length_percentiles": """
+            WITH h AS (
+              SELECT n_chars, count(*) AS docs FROM documents GROUP BY n_chars
+            ), c AS (
+              SELECT n_chars,
+                     sum(docs) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h
+            ), m AS (
+              SELECT n_chars, cum, max(cum) OVER () AS total FROM c
+            )
+            SELECT min(CASE WHEN cum >= ceil(total * 25 / 100) THEN n_chars END) AS p25,
+                   min(CASE WHEN cum >= ceil(total * 50 / 100) THEN n_chars END) AS p50,
+                   min(CASE WHEN cum >= ceil(total * 75 / 100) THEN n_chars END) AS p75,
+                   min(CASE WHEN cum >= ceil(total * 90 / 100) THEN n_chars END) AS p90,
+                   min(CASE WHEN cum >= ceil(total * 99 / 100) THEN n_chars END) AS p99
+            FROM m
+        """,
+        "doc_alpha_ratio_histogram": """
+            SELECT CAST(floor(CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)) AS BIGINT) / 200) AS BIGINT) AS alpha_pct2_bucket,
+                   count(*) AS docs
+            FROM documents WHERE length(text) > 0
+            GROUP BY 1 ORDER BY 1
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

@@ -103,26 +103,36 @@ def overrepresented_shingles(metric_df: DataFrame, min_count: int = 3, top_k: in
 
 
 def identify_overrepresented(
-    overrep: DataFrame, boilerplate: DataFrame
+    overrep: DataFrame, boilerplate: DataFrame, retry_ks: tuple[int, ...] = (21, 13, 9)
 ) -> DataFrame:
     """Match overrepresented shingles against a known-boilerplate DB —
     the broadcast-lookup join J2 (reference:
     sequence_identification.py:88-181 ranks contaminant candidates by
-    shared k-mers; here a substring-containment broadcast join with
-    best-match-per-shingle via row_number).
+    shared k-mers, retrying with smaller k (13 -> 11 -> 9) when nothing
+    hits).  Here: containment of progressively shorter shingle prefixes,
+    best (longest-k, then name) match per shingle via row_number.
 
     boilerplate: (name string, content string) — small, broadcast.
     """
-    joined = overrep.join(
-        F.broadcast(boilerplate),
-        F.col("content").contains(F.col("shingle")),
-        "left",
-    )
-    w = W.partitionBy("shingle").orderBy(F.asc_nulls_last("name"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
+    tiers = []
+    for priority, k in enumerate(retry_ks):
+        probe = F.substring("shingle", 1, k)
+        tiers.append(
+            overrep.join(F.broadcast(boilerplate), F.col("content").contains(probe))
+            .select("shingle", "count", "name", F.lit(priority).alias("tier"))
+        )
+    matched = tiers[0]
+    for t in tiers[1:]:
+        matched = matched.unionByName(t)
+    w = W.partitionBy("shingle").orderBy("tier", "name")
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("shingle", "count", F.col("name").alias("best_match"))
+        .select("shingle", F.col("name").alias("best_match"), "tier")
+    )
+    return (
+        overrep.join(best, "shingle", "left")
+        .select("shingle", "count", "best_match", F.col("tier").alias("match_tier"))
         .orderBy(F.desc("count"), "shingle")
     )
 

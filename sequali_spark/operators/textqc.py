@@ -289,3 +289,42 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def length_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles by walking the length histogram — sequali
+    computes percentiles 1..99 by cumulative walk, never by approx
+    sketch (A14, reference report_modules.py:596-619).  The cumsum runs
+    over the tiny histogram, not the docs; percentile p = smallest
+    length whose cumulative doc count reaches ceil(p/100 * total)."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("n_chars").agg(F.count("*").alias("docs"))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("n_chars", F.sum("docs").over(w).alias("cum"))
+    total = F.max("cum").over(W.partitionBy())
+    marks = cum.select("n_chars", "cum", total.alias("total"))
+    agg_cols = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * p / 100), F.col("n_chars"))
+        ).alias(f"p{p}")
+        for p in (25, 50, 75, 90, 99)
+    ]
+    return marks.agg(*agg_cols)
+
+
+def alpha_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus histogram of per-doc alpha ratio (2%-wide buckets) — the
+    GC-content histogram transplant (A4, reference _qcmodule.c:2045-2058:
+    hist[round(100*gc)] += 1)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha_bps = F.floor(
+        F.lit(10000) * (n - F.length(F.regexp_replace("text", "[a-z]", ""))) / n
+    ).cast("long")
+    bucket = F.floor(alpha_bps / 200).cast("long")
+    return (
+        d.filter(n > 0)
+        .groupBy(bucket.alias("alpha_pct2_bucket"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy("alpha_pct2_bucket")
+    )
