@@ -128,14 +128,15 @@ def minhash_pairs_for(
     join key is a hash so it distributes uniformly, and candidates are
     verified by estimated Jaccard from full signatures before emission.
     """
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
     bands = sigs.select(
         id_col,
-        "signature",
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
     left = bands.alias("l")
     right = bands.alias("r")
+    # candidate ids only — signatures (64×8B arrays) would multiply the
+    # self-join shuffle ~20×; they are re-attached per UNIQUE pair below
     cand = (
         left.join(
             right,
@@ -146,18 +147,20 @@ def minhash_pairs_for(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
+    a = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     ) / F.lit(N_MINHASH)
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
