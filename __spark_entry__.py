@@ -110,6 +110,42 @@ def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_batches, schema="doc_id long, ppl_centi long").orderBy("doc_id")
 
 
+
+
+def _pages_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 time-window report on the canonical pages shape (host ≙
+    channel), oracle-checked: the synthesis itself is deterministic SQL."""
+    pages = _pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.select(F.date_trunc("hour", "warc_ts").alias("hour"), host.alias("host"), F.length("text").alias("n"))
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("host").alias("distinct_hosts"),
+            F.sum("n").alias("chars"),
+        )
+        .orderBy("hour")
+    )
+
+
+def _pages_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-host rollup on the canonical pages shape, oracle-checked."""
+    pages = _pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"), F.length("text").alias("n"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n").alias("total_chars"),
+            F.min("n").alias("min_chars"),
+            F.max("n").alias("max_chars"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sequali_spark.operators import dedup, events, relational, similarity, textqc
 
@@ -158,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_priority": relational.order_priority_counts,
         # --- the flagship pipeline + model scorers (non-SQL; rows-only) ---
         "pages_quality_labels": _pages_quality_labels,
+        "pages_time_window": _pages_time_window,
+        "pages_host_report": _pages_host_report,
         "doc_langid": _doc_langid,
         "doc_perplexity": _doc_perplexity,
     }
@@ -315,6 +353,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS docs
             FROM documents WHERE length(text) > 0
             GROUP BY 1 ORDER BY 1
+        """,
+        "pages_time_window": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.example.org' AS host,
+                     TIMESTAMP '2025-06-01 00:00:00' + to_seconds(doc_id * 61) AS warc_ts,
+                     length(text) AS n
+              FROM documents
+            )
+            SELECT CAST(date_trunc('hour', warc_ts) AS TIMESTAMP) AS hour,
+                   count(*) AS docs, count(DISTINCT host) AS distinct_hosts,
+                   sum(n) AS chars
+            FROM pages GROUP BY 1 ORDER BY 1
+        """,
+        "pages_host_report": """
+            SELECT source || '.example.org' AS host, count(*) AS docs,
+                   sum(length(text)) AS total_chars,
+                   min(length(text)) AS min_chars, max(length(text)) AS max_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
