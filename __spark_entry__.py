@@ -61,6 +61,11 @@ def _pages_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.pipeline import quality_pipeline
 
     pages = _pages_from_documents(spark, sf_dir)
+    # small parquet inputs arrive as 1-2 splits; spread the CPU-bound
+    # metric stage over a few workers (scan bytes != compute cost), but
+    # not over every core: each fresh Python worker pays import+model
+    # init, which dominates a 5k-doc input
+    pages = pages.repartition(min(8, spark.sparkContext.defaultParallelism))
     m = quality_pipeline(spark, pages, repartition=False)
     return m.select("url", "lang_pred", "keep", "pii_hits", "tox_hits").orderBy("url")
 
@@ -168,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_deterministic_sample": textqc.deterministic_sample,
         "doc_length_percentiles": textqc.length_percentiles_exact,
         "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
+        "doc_probe_position_curve": textqc.probe_position_curve,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -371,6 +377,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text)) AS total_chars,
                    min(length(text)) AS min_chars, max(length(text)) AS max_chars
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_probe_position_curve": """
+            WITH hits AS (
+              SELECT 'data' AS probe, strpos(text, 'data') AS pos FROM documents WHERE strpos(text, 'data') > 0
+              UNION ALL
+              SELECT 'query', strpos(text, 'query') FROM documents WHERE strpos(text, 'query') > 0
+              UNION ALL
+              SELECT 'table', strpos(text, 'table') FROM documents WHERE strpos(text, 'table') > 0
+            ), h AS (
+              SELECT probe, CAST(floor((pos - 1) / 20) * 20 AS BIGINT) AS pos_bucket, count(*) AS docs
+              FROM hits GROUP BY 1, 2
+            )
+            SELECT probe, pos_bucket, docs,
+                   sum(docs) OVER (PARTITION BY probe ORDER BY pos_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs
+            FROM h ORDER BY probe, pos_bucket
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

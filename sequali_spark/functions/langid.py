@@ -93,13 +93,26 @@ class LangIdModel:
 
 
 _MODEL: LangIdModel | None = None
+_ARTIFACT = None  # resolved lazily
 
 
 def get_model() -> LangIdModel:
-    """Module-level singleton built from the seeded fixture vocabularies."""
+    """Module-level singleton: load the baked .npz artifact when present
+    (executor fast path, cf. scripts/build_models.py), else train from
+    the seeded fixture vocabularies (identical result)."""
     global _MODEL
     if _MODEL is None:
-        from sequali_spark.fixtures import lang_training_texts
+        from pathlib import Path
 
-        _MODEL = LangIdModel(lang_training_texts())
+        art = Path(__file__).resolve().parent.parent / "resources" / "models" / "langid.npz"
+        if art.exists():
+            data = np.load(art, allow_pickle=True)
+            m = LangIdModel.__new__(LangIdModel)
+            m.langs = [str(x) for x in data["langs"]]
+            m.weights = data["weights"]
+            _MODEL = m
+        else:
+            from sequali_spark.fixtures import lang_training_texts
+
+            _MODEL = LangIdModel(lang_training_texts())
     return _MODEL

@@ -116,9 +116,23 @@ _MODEL: NgramLM | None = None
 
 
 def get_model() -> NgramLM:
+    """Singleton: baked .npz artifact when present (executor fast path,
+    cf. scripts/build_models.py), else train from the seeded corpus."""
     global _MODEL
     if _MODEL is None:
-        from sequali_spark.fixtures import lm_training_texts
+        from pathlib import Path
 
-        _MODEL = NgramLM(lm_training_texts())
+        art = Path(__file__).resolve().parent.parent / "resources" / "models" / "ngram_lm.npz"
+        if art.exists():
+            data = np.load(art)
+            m = NgramLM.__new__(NgramLM)
+            m.uni = data["uni"]
+            m.bi = data["bi"]
+            m.total = int(data["total"][0])
+            m._empty_ppl = float(m.total + ADD_K * LM_DIM) / ADD_K
+            _MODEL = m
+        else:
+            from sequali_spark.fixtures import lm_training_texts
+
+            _MODEL = NgramLM(lm_training_texts())
     return _MODEL

@@ -328,3 +328,33 @@ def alpha_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("docs"))
         .orderBy("alpha_pct2_bucket")
     )
+
+
+def probe_position_curve(
+    spark: SparkSession, sf_dir: str, probes: tuple[str, ...] = ("data", "query", "table"), bucket: int = 20
+) -> DataFrame:
+    """Multi-probe positional histogram + cumulative curve — the full
+    AdapterCounter corpus table (A6: first occurrence per doc recorded
+    in a forward positional histogram, reference _qcmodule.c:2643-2672)
+    with the AdapterContent cumulative-% finalize on top (A20,
+    reference report_modules.py:1438-1475).
+
+    One scan per probe unioned (each a pushed-down instr projection),
+    histogram grouped on (probe, bucket), cumulative via window."""
+    d = load(spark, sf_dir, "documents")
+    parts = []
+    for p in probes:
+        pos = F.instr(F.col("text"), p)
+        parts.append(
+            d.select(F.lit(p).alias("probe"), pos.alias("pos")).filter(F.col("pos") > 0)
+        )
+    hits = parts[0]
+    for part in parts[1:]:
+        hits = hits.unionByName(part)
+    hist = hits.groupBy(
+        "probe", (F.floor((F.col("pos") - 1) / bucket) * bucket).cast("long").alias("pos_bucket")
+    ).agg(F.count("*").alias("docs"))
+    w = W.partitionBy("probe").orderBy("pos_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.select(
+        "probe", "pos_bucket", "docs", F.sum("docs").over(w).alias("cum_docs")
+    ).orderBy("probe", "pos_bucket")

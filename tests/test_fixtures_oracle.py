@@ -83,3 +83,24 @@ def test_oracle_report_values(pages_small):
     # planted boilerplate surfaces as overrepresented shingles
     assert len(rep["overrepresented"]) > 0
     assert any("navigation" in o["shingle"] or "host" in o["shingle"] for o in rep["overrepresented"])
+
+
+def test_model_artifacts_fresh():
+    """The baked .npz artifacts must equal freshly-trained models —
+    guards against editing vocab/hash code without rebuilding
+    (scripts/build_models.py)."""
+    import numpy as np
+
+    from sequali_spark.fixtures import lang_training_texts, lm_training_texts
+    from sequali_spark.functions import langid, perplexity
+
+    baked_lang = langid.get_model()
+    fresh_lang = langid.LangIdModel(lang_training_texts())
+    assert baked_lang.langs == fresh_lang.langs
+    assert np.array_equal(baked_lang.weights, fresh_lang.weights)
+
+    baked_lm = perplexity.get_model()
+    fresh_lm = perplexity.NgramLM(lm_training_texts())
+    assert np.array_equal(baked_lm.uni, fresh_lm.uni)
+    assert np.array_equal(baked_lm.bi, fresh_lm.bi)
+    assert baked_lm.total == fresh_lm.total
