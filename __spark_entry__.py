@@ -272,7 +272,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, length(text) AS n,
                      length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS spaces,
                      length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS alpha
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             )
             SELECT doc_id,
                    (CASE WHEN n >= 50 THEN 1 ELSE 0 END

@@ -202,8 +202,13 @@ def run_scaling(rows: int) -> dict:
             text=True,
             cwd=REPO,
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"throughput child (cpus={cpus}) failed rc={proc.returncode}:\n"
+                + proc.stderr[-3000:]
+            )
+        results[cpus] = json.loads(lines[-1])
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     summary = {

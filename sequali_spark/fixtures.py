@@ -169,6 +169,7 @@ def generate_pages(
     texts: list[str] = []
     langs: list[str] = []
     urls: list[str] = []
+    actual_cls: list[str] = []  # cls may degrade (dup with empty pool)
     clean_pool: list[int] = []  # indices of clean docs eligible for duplication
     degenerate_cycle = 0
 
@@ -236,6 +237,7 @@ def generate_pages(
         texts.append(text)
         langs.append(lang)
         urls.append(url)
+        actual_cls.append(cls)
 
     htmls: list[bytes] = []
     bad_enc = rng.rand(n_rows) < 0.02
@@ -253,6 +255,6 @@ def generate_pages(
             "html": htmls,
             "text": texts,
             "lang": langs,
-            "cls": classes,
+            "cls": actual_cls,
         }
     )

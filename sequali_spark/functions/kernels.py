@@ -255,6 +255,19 @@ def top_bigram_fraction(
     out = np.zeros(n, dtype=np.float64)
     if len(hashes) < 2:
         return out
+    # the radix key holds the doc index in the top 64-_PAIR_BITS=20 bits;
+    # larger batches are processed in 2^20-doc chunks (Arrow batches in
+    # the pipeline are ~10k rows; this path serves whole-table oracle runs)
+    max_docs = 1 << (64 - _PAIR_BITS)
+    if n > max_docs:
+        offsets64 = offsets
+        for lo in range(0, n, max_docs):
+            hi = min(lo + max_docs, n)
+            sl = slice(offsets64[lo], offsets64[hi])
+            out[lo:hi] = top_bigram_fraction(
+                hashes[sl], lengths[lo:hi], offsets64[lo : hi + 1] - offsets64[lo]
+            )
+        return out
     doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lengths)
     valid = doc_of_tok[:-1] == doc_of_tok[1:]  # pairs inside one doc only
     pair = ((hashes[:-1] << np.uint64(32)) ^ hashes[1:])[valid]

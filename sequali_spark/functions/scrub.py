@@ -103,7 +103,7 @@ def scrub_batch(
     vals = texts.to_numpy(dtype=object)
     # literal fast path is only sound for the default battery (whose
     # patterns all require a digit, '@', or a toxicity literal)
-    use_fast = digit_counts is not None and _PATTERNS is not None and _patterns_are_default()
+    use_fast = digit_counts is not None and _patterns_are_default()
     if use_fast:
         dirty_idx = [
             i

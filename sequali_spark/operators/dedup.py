@@ -52,6 +52,21 @@ def fingerprint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cache registry: each operator family keeps at most ONE persisted
+# intermediate alive; the next invocation releases the previous one so
+# long sessions (bench, notebooks) don't accumulate pinned blocks
+_CACHED: dict[str, DataFrame] = {}
+
+
+def _release_prior_cache(key: str) -> None:
+    prev = _CACHED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+
+
 # --- MinHash + LSH near-dup -------------------------------------------------
 
 N_MINHASH = 64
@@ -128,7 +143,9 @@ def minhash_pairs_for(
     join key is a hash so it distributes uniformly, and candidates are
     verified by estimated Jaccard from full signatures before emission.
     """
+    _release_prior_cache("minhash")
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
+    _CACHED["minhash"] = sigs
     bands = sigs.select(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
@@ -193,15 +210,21 @@ def _simhash(text: str, bits: int = 64) -> int:
 def simhash_near_dup_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints bucketed by 16-bit chunks
-    (pigeonhole: hamming<=6 over 4 chunks guarantees one exact chunk
-    match — cf. the reference's two-half pigeonhole search for <=1
-    mismatch, _qcmodule.c:5667-5707), verified by exact popcount."""
+    """SimHash near-dup: 64-bit fingerprints bucketed into
+    ``max_hamming + 1`` bit-blocks — pigeonhole: two hashes within
+    hamming distance h differ in at most h blocks, so with h+1 blocks
+    at least one block matches exactly (cf. the reference's two-half
+    pigeonhole search for <=1 mismatch, _qcmodule.c:5667-5707) —
+    then verified by exact popcount.  The block join is therefore a
+    complete (no-false-negative) blocking scheme for the threshold.
+    """
     d = load(spark, sf_dir, "documents")
     schema = "doc_id long, simhash long"
 
     def _batches(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -209,21 +232,25 @@ def simhash_near_dup_pairs(
                 }
             )
 
+    _release_prior_cache("simhash")
     fps = d.select("doc_id", "text").mapInPandas(_batches, schema=schema).persist()
+    _CACHED["simhash"] = fps
+    n_blocks = max_hamming + 1
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
+    block_cols = []
+    for i in range(n_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        width_mask = (1 << (hi - lo)) - 1
+        block_cols.append(
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(width_mask)).alias("chunk"),
+            )
+        )
     chunks = fps.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
+        F.explode(F.array(*block_cols)).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
     l, r = chunks.alias("l"), chunks.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))

@@ -49,20 +49,7 @@ def brute_force_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    sim = _dot("q_emb", "embedding")
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.floor(F.lit(10000) * F.col("sim")).cast("long").alias("sim_bps"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _rerank_topk(pairs, k)
 
 
 def _hyperplanes(n_planes: int = 16, dim: int = EMB_DIM, seed: int = 271) -> np.ndarray:
@@ -70,20 +57,14 @@ def _hyperplanes(n_planes: int = 16, dim: int = EMB_DIM, seed: int = 271) -> np.
     return rng.randn(n_planes, dim)
 
 
-def lsh_bucketed_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 12
-) -> DataFrame:
-    """Sign-LSH ANN: bucket = sign pattern under seeded random
-    hyperplanes; candidates share a bucket with the query (multi-probe:
-    exact bucket only here), then exact cosine re-rank.  The scale path:
-    the bucket join replaces the full cross product — candidate count
-    drops ~2^n_planes-fold on uniform data."""
-    e = load(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(n_planes)
-    schema = "vec_id long, bucket long"
+def _bucketize_kernel(planes: np.ndarray):
+    """mapInPandas kernel: sign pattern under the hyperplanes -> bucket id."""
+    n_planes = len(planes)
 
     def _bucketize(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             mat = np.stack(pdf["embedding"].to_numpy())
             signs = (mat @ planes.T) > 0
             buckets = np.zeros(len(pdf), dtype=np.int64)
@@ -91,17 +72,12 @@ def lsh_bucketed_topk(
                 buckets |= signs[:, i].astype(np.int64) << i
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "bucket": buckets})
 
-    buckets = e.select("vec_id", "embedding").mapInPandas(_bucketize, schema=schema)
-    eb = e.join(buckets, "vec_id")
-    queries = eb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    cand = eb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
+    return _bucketize
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of (query_id, vec_id, q_emb, embedding)
+    candidates -> top-k rows with integer sim_bps."""
     sim = _dot("q_emb", "embedding")
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -118,6 +94,32 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_bucketed_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 12
+) -> DataFrame:
+    """Sign-LSH ANN: bucket = sign pattern under seeded random
+    hyperplanes; candidates share a bucket with the query (multi-probe:
+    exact bucket only here), then exact cosine re-rank.  The scale path:
+    the bucket join replaces the full cross product — candidate count
+    drops ~2^n_planes-fold on uniform data."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(n_planes)
+    buckets = e.select("vec_id", "embedding").mapInPandas(
+        _bucketize_kernel(planes), schema="vec_id long, bucket long"
+    )
+    eb = e.join(buckets, "vec_id")
+    queries = eb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = eb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _rerank_topk(cand, k)
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, min_sim_bps: int = 9500, n_planes: int = 8
 ) -> DataFrame:
@@ -125,18 +127,9 @@ def embedding_near_dup_pairs(
     exact verify — the embedding leg of the dedup family."""
     e = load(spark, sf_dir, "embeddings")
     planes = _hyperplanes(n_planes, seed=653)
-    schema = "vec_id long, bucket long"
-
-    def _bucketize(it):
-        for pdf in it:
-            mat = np.stack(pdf["embedding"].to_numpy())
-            signs = (mat @ planes.T) > 0
-            buckets = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(n_planes):
-                buckets |= signs[:, i].astype(np.int64) << i
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "bucket": buckets})
-
-    b = e.select("vec_id", "embedding").mapInPandas(_bucketize, schema=schema)
+    b = e.select("vec_id", "embedding").mapInPandas(
+        _bucketize_kernel(planes), schema="vec_id long, bucket long"
+    )
     eb = e.join(b, "vec_id").select("vec_id", "embedding", "bucket")
     l, r = eb.alias("l"), eb.alias("r")
     sim = _dot("l.embedding", "r.embedding")
@@ -186,6 +179,8 @@ def _ivf_assign_udf(centroids: np.ndarray):
 
     def _assign(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             mat = np.stack(pdf["embedding"].to_numpy())
             cid = (mat @ centroids.T).argmax(axis=1).astype(np.int64)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "centroid": cid})
@@ -244,17 +239,4 @@ def ivf_topk(
         .join(F.broadcast(queries), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    sim = _dot("q_emb", "embedding")
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.floor(F.lit(10000) * F.col("sim")).cast("long").alias("sim_bps"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _rerank_topk(cand, k)

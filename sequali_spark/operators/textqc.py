@@ -121,8 +121,11 @@ def substring_scan(spark: SparkSession, sf_dir: str, probe: str = "data") -> Dat
     reference _qcmodule.c:2643-2672 records first occurrence only)."""
     d = load(spark, sf_dir, "documents")
     first_pos = F.instr(F.col("text"), probe)
+    # literal replace (not regexp_replace): probes may contain regex
+    # metacharacters; the DuckDB oracle's replace() is literal too
     occurrences = (
-        (F.length("text") - F.length(F.regexp_replace("text", probe, ""))) / len(probe)
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(probe), F.lit(""))))
+        / len(probe)
     ).cast("long")
     return (
         d.select("doc_id", first_pos.alias("first_pos"), occurrences.alias("occurrences"))
@@ -165,7 +168,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (n_words >= 10).cast("long")
         + (alpha_bps >= 5000).cast("long")
     )
-    return d.select(
+    # NULL text would null-propagate the gate sum in Spark while an
+    # oracle CASE yields 0 — exclude NULLs so both engines agree
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         score.alias("gates_passed"),
         (score == 4).alias("keep"),
