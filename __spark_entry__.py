@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
         "events_type_daily_pivot": events.event_type_hourly_pivot,
+        "events_asof_join": events.asof_last_click_before_error,
         # --- similarity search over embeddings ---
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
@@ -465,6 +466,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.event_id
         """,
         "emb_norms": """
             SELECT vec_id, label,

@@ -109,3 +109,42 @@ def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}") for t in types
     ]
     return e.groupBy(day).agg(*aggs).orderBy("day")
+
+
+def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each error event matched to the same user's most
+    recent click at-or-before it — a custom operator Spark lacks
+    natively, expressed as the union+ordered-window composition (the
+    (a)-tier strategy of SURVEY's custom-operator ladder: plain
+    DataFrame ops, no UDF):
+
+      union(tagged left, tagged right)
+        -> window last_value(right_ts, ignorenulls) over
+           (partition by key order by ts, right-before-left rows
+            unbounded preceding..current)
+        -> keep left rows.
+
+    One shuffle on the join key; both sides sorted once — the same cost
+    shape as a sort-merge join, which is exactly what an as-of join is.
+    """
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_left"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"), F.lit(0).alias("is_left"),
+    )
+    tagged = errors.unionByName(clicks)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", F.col("asof_click_ts").alias("click_ts"))
+        .orderBy("event_id")
+    )
