@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_unshipped": relational.top_unshipped_orders,
         "rel_order_priority": relational.order_priority_counts,
+        "rel_pricing_rollup": relational.pricing_rollup,
+        "rel_value_band_join": relational.value_band_join,
         # --- the flagship pipeline + model scorers (non-SQL; rows-only) ---
         "pages_quality_labels": _pages_quality_labels,
         "pages_time_window": _pages_time_window,
@@ -515,6 +517,22 @@ def oracle_sql() -> dict[str, str]:
               FROM votes
             )
             SELECT query_id, predicted_label, votes FROM best WHERE rn = 1 ORDER BY query_id
+        """,
+        "rel_pricing_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS orders,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "rel_value_band_join": """
+            WITH bands(band, lo, hi) AS (
+              VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9)
+            )
+            SELECT band, count(*) AS events,
+                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band ORDER BY band
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -62,3 +62,42 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total —
+    the OLAP hierarchy-aggregation primitive (module ordering T4's
+    priority-map spirit as grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("orders"),
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: classify events into value bands via a
+    broadcast BETWEEN join — the theta-join shape (Catalyst picks
+    BroadcastNestedLoopJoin for the tiny band table)."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        schema="band string, lo double, hi double",
+    )
+    joined = e.join(
+        F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi), "inner"
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+        )
+        .orderBy("band")
+    )
