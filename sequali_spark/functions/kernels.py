@@ -211,7 +211,9 @@ _TOK_CACHE_CAP = 1 << 20
 def hash_tokens(toks: list[str]) -> np.ndarray:
     """crc32 per token (uint64 array), memoized — deterministic across
     processes, C-speed.  Shared by the repetition metrics and the
-    perplexity LM so one tokenization+hash pass serves both."""
+    perplexity LM so one tokenization+hash pass serves both.
+    (A factorize-then-hash-uniques variant was measured slower once the
+    memo is warm — dict hits beat pd.factorize on repeated vocab.)"""
     cache = _TOK_CACHE
     out = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):

@@ -79,3 +79,19 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup_labels(
+    pages_stream: DataFrame,
+    watermark: str = "1 day",
+    output_columns: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup by url within the watermark horizon:
+    dropDuplicates keyed on url with a warc_ts watermark bounds the
+    dedup state (urls older than the watermark age out of the state
+    store) — the streaming twin of the batch groupBy-digest dedup, and
+    the same bounded-state philosophy as sequali's capped fingerprint
+    store (reference: _qcmodule.c:4248-4253), except the bound is
+    event-time, not row count, so it is deterministic."""
+    deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    return run_metric_stage(deduped, output_columns=output_columns)

@@ -62,3 +62,27 @@ def test_streaming_windowed_report(spark, src, tmp_path):
     # bounded drain the final windows stay open — presence of the table
     # and non-negative counts is the contract here
     assert all(r["docs"] >= 0 for r in rows)
+
+
+def test_streaming_dedup_labels(spark, pages_tiny, tmp_path):
+    """Duplicate urls in the stream are labeled once (state-store dedup
+    keyed on url, watermark-bounded)."""
+    src = str(tmp_path / "dropsd")
+    # write the fixture twice -> every url arrives (at least) twice
+    pages_df(spark, pages_tiny, partitions=2).write.parquet(src)
+    pages_df(spark, pages_tiny, partitions=2).write.mode("append").parquet(src)
+
+    stream = st.read_pages_stream(spark, src)
+    labels = st.streaming_dedup_labels(stream, output_columns=["url", "keep"])
+    q = (
+        labels.writeStream.format("memory")
+        .queryName("dedup_labels")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select url, count(*) c from dedup_labels group by url").collect()
+    assert all(r["c"] == 1 for r in got)
+    assert len(got) == pages_tiny["url"].nunique()
