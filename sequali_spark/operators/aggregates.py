@@ -225,3 +225,25 @@ def n50_analogue(metric_df: DataFrame) -> DataFrame:
         F.min(F.when(F.col("cum_char_frac") >= 0.9, F.col("length_bucket"))).alias("n90_length"),
     )
     return out
+
+
+def per_host_distinct_urls_salted(metric_df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Exact distinct-url count per host via salted two-stage
+    aggregation — the skew-safe pattern for COUNT(DISTINCT) on a Zipf
+    key: stage 1 groups on (host, hash(url) % S), so the mega-host's
+    distinct set is counted across S reducers; stage 2 sums the partial
+    distincts (url -> salt is deterministic, the per-salt sets are
+    disjoint, so the sum is exact).  A plain countDistinct would funnel
+    every mega-host url through one reducer.
+    """
+    salted = metric_df.select(
+        host_col(), F.pmod(F.xxhash64("url"), F.lit(n_salts)).alias("salt"), "url"
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.countDistinct("url").alias("partial_distinct")
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("partial_distinct").alias("distinct_urls"))
+        .orderBy(F.desc("distinct_urls"), "host")
+    )

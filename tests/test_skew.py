@@ -38,3 +38,52 @@ def test_salting_balances_partitions(spark, pages_small):
     # salted (day, hash(host,url)%64) partitioning stays balanced
     assert s_salted.max() / s_salted.mean() < 1.6
     assert s_salted.sum() == len(pages_small)
+
+
+def test_salted_distinct_equals_direct(spark, pages_small):
+    """The two-stage salted COUNT(DISTINCT) must equal the direct one."""
+    from sequali_spark.operators import aggregates as agg
+    from sequali_spark.pipeline import quality_pipeline
+
+    m = quality_pipeline(spark, pages_df(spark, pages_small), repartition=False)
+    m = m.select("url").persist()
+    m.count()
+    try:
+        host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+        direct = {
+            r["host"]: r["d"]
+            for r in m.groupBy(host.alias("host"))
+            .agg(F.countDistinct("url").alias("d"))
+            .collect()
+        }
+        salted = {
+            r["host"]: r["distinct_urls"]
+            for r in agg.per_host_distinct_urls_salted(m).collect()
+        }
+        assert salted == direct
+    finally:
+        m.unpersist()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join with zero shuffles."""
+    from sequali_spark.plans import checks
+    from sequali_spark.sources import bucketing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the fixture is tiny, so Catalyst would broadcast; at 100TB both
+    # sides are fact-sized — force the sort-merge path bucketing serves
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketing.write_bucketed(docs.select("doc_id", "text"), "b_docs", "doc_id")
+        bucketing.write_bucketed(docs.select("doc_id", "lang", "source"), "b_meta", "doc_id")
+        joined = bucketing.bucketed_join(spark, "b_docs", "b_meta", "doc_id")
+        assert joined.count() == docs.count()
+        plan = checks.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert checks.shuffle_count(joined) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_meta")
