@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events.top_users_by_value,
         "events_type_daily_pivot": events.event_type_hourly_pivot,
         "events_asof_join": events.asof_last_click_before_error,
+        "events_props_json": events.props_json_stats,
         # --- similarity search over embeddings ---
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
@@ -475,6 +476,15 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
             ORDER BY e.event_id
+        """,
+        "events_props_json": """
+            SELECT event_type, count(*) AS events,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "emb_norms": """
             SELECT vec_id, label,

@@ -148,3 +148,24 @@ def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", F.col("asof_click_ts").alias("click_ts"))
         .orderBy("event_id")
     )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the
+    JSON props column JVM-side (get_json_object) and aggregate — the
+    typed-tag-accessor pattern of the reference's BAM tags
+    (P10, _qcmodule.c:5054-5140) over JSON instead of binary tags."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
