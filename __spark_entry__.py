@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_keepers": dedup.dedup_keepers,
         # --- event-time analytics (NanoStats/A17, A20 lineage) ---
         "events_hourly_report": events.hourly_report,
         "events_type_totals": events.event_type_totals,

@@ -305,3 +305,78 @@ def ngram_jaccard_pairs(
     return joined.select("doc_a", "doc_b", jac_bps.alias("jaccard_bps")).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# --- connected components (iterative) ---------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs — the iterative
+    algorithm that turns pairwise matches into dedup clusters with a
+    canonical keeper (min id) per cluster.
+
+    Label-propagation: every vertex starts as its own component; each
+    round a vertex adopts the minimum component id among itself and its
+    neighbors; converged when no label changes.  Rounds = graph
+    diameter, which for dup clusters is tiny (2-3).  Each round is one
+    join + one groupBy on the edge list — all JVM-side; the driver only
+    checks the convergence counter (an aggregate, not a collect of the
+    data).
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
+    component = min doc_id reachable.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("component").alias("neighbor_component"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("neighbor_component"), F.col("component")),
+                    ).alias("component"),
+                    (F.coalesce(F.col("neighbor_component"), F.col("component")) < F.col("component")).alias("_changed"),
+                )
+                .persist()
+            )
+            changed = updated.filter("_changed").count()
+            old = labels
+            labels = updated.drop("_changed")
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels.orderBy("doc_id")
+    finally:
+        edges.unpersist()
+
+
+def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash pairs -> connected
+    components -> keeper = component min id; emits one row per doc in a
+    dup cluster with keep_doc=false for non-keepers."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir, threshold=threshold).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep_doc"),
+    ).orderBy("doc_id")

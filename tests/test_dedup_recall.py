@@ -89,3 +89,49 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3  # random-ish vectors; probing half the lists
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    from sequali_spark.operators import dedup
+
+    pairs_df = dedup.minhash_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    assert pairs, "need candidate pairs for the test to mean anything"
+    truth = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs_df).collect()
+    }
+    assert got == truth
+
+
+def test_dedup_keepers(spark, sf_dir):
+    from sequali_spark.operators import dedup
+
+    rows = dedup.dedup_keepers(spark, sf_dir, threshold=0.8).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["component"], []).append(r)
+    for comp_id, members in comps.items():
+        keepers = [m for m in members if m["keep_doc"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == comp_id == min(m["doc_id"] for m in members)
