@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": textqc.length_percentiles_exact,
         "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         "doc_probe_position_curve": textqc.probe_position_curve,
+        "doc_bottom_decile": textqc.bottom_decile_by_source,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -397,6 +398,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe, pos_bucket, docs,
                    sum(docs) OVER (PARTITION BY probe ORDER BY pos_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs
             FROM h ORDER BY probe, pos_bucket
+        """,
+        "doc_bottom_decile": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+              FROM documents
+            )
+            SELECT source, count(*) AS bottom_docs,
+                   CAST(floor(10000.0 * sum(n_chars) / count(*)) AS BIGINT) AS bottom_mean_bps
+            FROM r WHERE pr <= 0.1 GROUP BY source ORDER BY source
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

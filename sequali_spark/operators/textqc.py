@@ -363,3 +363,24 @@ def probe_position_curve(
     return hist.select(
         "probe", "pos_bucket", "docs", F.sum("docs").over(w).alias("cum_docs")
     ).orderBy("probe", "pos_bucket")
+
+
+def bottom_decile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean length of each source's shortest decile — the
+    bottom-percentile-mean finalize (A15, reference
+    report_modules.py:761-826 walks the histogram accumulating the
+    bottom p% error mass) via percent_rank + conditional aggregation."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select("source", "n_chars", F.percent_rank().over(w).alias("pr"))
+    return (
+        ranked.filter(F.col("pr") <= 0.1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("bottom_docs"),
+            F.floor(F.lit(10000) * F.sum("n_chars") / F.count("*"))
+            .cast("long")
+            .alias("bottom_mean_bps"),
+        )
+        .orderBy("source")
+    )

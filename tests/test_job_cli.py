@@ -47,3 +47,29 @@ def test_batch_job_cli(spark, pages_tiny, tmp_path):
     assert rep["rule_hits"].get("toxicity", 0) > 0
     labels = spark.read.parquet(out)
     assert labels.count() == len(pages_tiny)
+
+
+def test_resumable_job_cli(spark, pages_tiny, tmp_path):
+    """spark-submit surface for --mode resumable: first run bounded by
+    nothing, second invocation reports zero new units."""
+    src = str(tmp_path / "pages")
+    from tests.test_pipeline import pages_df
+
+    pages_df(spark, pages_tiny).write.parquet(src)
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    cmd = [
+        sys.executable, "jobs/run_pipeline.py",
+        "--input", src, "--output", out, "--lineage", lin, "--mode", "resumable",
+    ]
+    p1 = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    done1 = json.loads([l for l in p1.stdout.splitlines() if l.startswith("{")][0])
+    assert len(done1["processed_units"]) > 0
+
+    p2 = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    done2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][0])
+    assert done2["processed_units"] == []  # resume finds nothing left
+    assert spark.read.parquet(out).count() == len(pages_tiny)
