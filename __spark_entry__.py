@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         "doc_probe_position_curve": textqc.probe_position_curve,
         "doc_bottom_decile": textqc.bottom_decile_by_source,
+        "doc_token_count_bpeish": textqc.token_count_bpeish,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_keepers": dedup.dedup_keepers,
+        "dedup_winnow_pairs": dedup.winnow_overlap_pairs,
         # --- event-time analytics (NanoStats/A17, A20 lineage) ---
         "events_hourly_report": events.hourly_report,
         "events_type_totals": events.event_type_totals,
@@ -408,6 +410,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS bottom_docs,
                    CAST(floor(10000.0 * sum(n_chars) / count(*)) AS BIGINT) AS bottom_mean_bps
             FROM r WHERE pr <= 0.1 GROUP BY source ORDER BY source
+        """,
+        "doc_token_count_bpeish": """
+            SELECT source, count(*) AS docs,
+                   sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpeish_tokens,
+                   sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1) AS ws_tokens
+            FROM documents WHERE length(text) > 0
+            GROUP BY source ORDER BY source
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

@@ -338,3 +338,33 @@ def word_stats_from_tokens(
             "dup_line_frac": dup_line,
         }
     )
+
+
+# --- winnowing fingerprints -------------------------------------------------
+# Rolling-hash k-gram fingerprints with window-min selection (winnowing,
+# Schleimer/Wilkerson/Aiken SIGMOD'03 — public algorithm): guarantees any
+# shared substring of length >= w + k - 1 yields a shared fingerprint, with
+# density ~2/(w+1).  The position-robust complement to the head/tail
+# dedup fingerprint (which the reference uses for whole-record identity).
+WINNOW_K = 8
+WINNOW_W = 16
+
+
+def winnow_fingerprints(text: bytes, k: int = WINNOW_K, w: int = WINNOW_W) -> np.ndarray:
+    """Sorted distinct winnowed k-gram hashes of a document (int64)."""
+    n = len(text) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    a = np.frombuffer(text, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + a[i : n + i].astype(np.uint64)
+    h = (h >> np.uint64(1)).astype(np.int64)  # keep positive for SQL longs
+    if n <= w:
+        return np.unique(h.min(keepdims=True))
+    # sliding-window minimum via stride tricks (windows = n - w + 1)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)

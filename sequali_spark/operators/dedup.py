@@ -380,3 +380,46 @@ def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
         "component",
         (F.col("doc_id") == F.col("component")).alias("keep_doc"),
     ).orderBy("doc_id")
+
+
+# --- winnowing overlap ------------------------------------------------------
+
+def winnow_overlap_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = 3
+) -> DataFrame:
+    """Position-robust near-dup candidates by shared winnowed
+    fingerprints (kernels.winnow_fingerprints — rolling-hash k-grams,
+    window-min selection): any shared substring of length >= w+k-1
+    guarantees a shared fingerprint, so long copied passages surface
+    regardless of where they sit in either doc.  explode -> groupBy
+    fingerprint -> pair within posting lists; min_shared filters noise."""
+    from sequali_spark.functions.kernels import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    schema = "doc_id long, fp long"
+
+    def _batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                for fp in winnow_fingerprints((t or "").encode("utf-8")):
+                    ids.append(doc_id)
+                    fps.append(int(fp))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    posts = d.select("doc_id", "text").mapInPandas(_batches, schema=schema)
+    l, r = posts.alias("l"), posts.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+    )

@@ -384,3 +384,23 @@ def bottom_decile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace: a BPE-ish regex segmentation
+    (letter runs | digit runs | single non-alnum) counted JVM-side —
+    the standard pre-tokenizer shape, giving a corpus token budget
+    estimate per source."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    ws_toks = _count_class("[ ]") + 1
+    return (
+        d.filter(F.length("text") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(toks).alias("bpeish_tokens"),
+            F.sum(ws_toks).alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -73,3 +73,22 @@ def test_word_stats_exact():
     assert ws["mean_word_len"][0] == 2.0
     assert ws["top_bigram_frac"][1] == 1.0  # (x,x) 3 times / 3 bigrams
     assert abs(ws["dup_line_frac"][2] - 2 / 6) < 1e-12
+
+
+def test_winnow_fingerprints_shared_substring_guarantee():
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one fingerprint; disjoint docs (different alphabets)
+    share none."""
+    from sequali_spark.functions.kernels import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    shared = b"the quick brown fox jumps over the lazy dog repeatedly"  # 54 >= 16+8-1
+    a = b"prefix one " + shared + b" suffix alpha"
+    b_ = b"another beginning " + shared + b" other ending"
+    fa, fb = winnow_fingerprints(a), winnow_fingerprints(b_)
+    assert len(np.intersect1d(fa, fb)) > 0
+    c = winnow_fingerprints(b"0123456789" * 10)
+    assert len(np.intersect1d(fa, c)) == 0
+    # density ~2/(w+1): far fewer fingerprints than positions
+    assert 0 < len(fa) < len(a) // 4
+    assert winnow_fingerprints(b"").size == 0
+    assert winnow_fingerprints(b"tiny").size == 0  # < k
