@@ -107,16 +107,22 @@ def test_degenerate_inputs(spark):
 
     pdf = pd.DataFrame(
         {
-            "url": [f"https://edge.example.org/{i}" for i in range(6)],
-            "warc_ts": pd.to_datetime(["2025-06-01"] * 6),
-            "html": [b"<html></html>"] * 5 + [b"\xff\xfe broken"],
-            "text": ["", "a", "x\x00y nul", "emoji 🎉🚀 doc", "w " * 50_000, "plain ok text here for length"],
-            "lang": ["en"] * 6,
+            "url": [f"https://edge.example.org/{i}" for i in range(8)],
+            "warc_ts": pd.to_datetime(["2025-06-01"] * 8),
+            "html": [b"<html></html>"] * 5 + [b"\xff\xfe broken", None, b"<x>"],
+            "text": ["", "a", "x\x00y nul", "emoji 🎉🚀 doc", "w " * 50_000,
+                     "plain ok text here for length", "doc with null html beside it", None],
+            "lang": ["en"] * 8,
         }
     )
     out = quality_pipeline(spark, pages_df(spark, pdf, partitions=2), repartition=False)
     rows = {r["url"]: r for r in out.collect()}
-    assert len(rows) == 6
+    assert len(rows) == 8
+    # NULL html: soft-degrade (treated as valid/absent, never a failure)
+    assert rows["https://edge.example.org/6"]["html_utf8"] is True
+    # NULL text: behaves as empty doc
+    assert rows["https://edge.example.org/7"]["n_chars"] == 0
+    assert not rows["https://edge.example.org/7"]["keep"]
     assert rows["https://edge.example.org/0"]["n_chars"] == 0
     assert not rows["https://edge.example.org/0"]["keep"]  # too_short
     assert rows["https://edge.example.org/2"]["ctrl_ratio"] > 0
