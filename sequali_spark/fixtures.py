@@ -60,7 +60,8 @@ LANG_VOCAB: dict[str, list[str]] = {
 LANGS = sorted(LANG_VOCAB)
 
 N_HOSTS = 50
-TOX_WORDS = ["frakking", "smegging", "gorram", "felgercarb", "shazbot"]
+# single source of truth for the planted toxicity lexicon: the scrubber
+from sequali_spark.functions.scrub import TOX_LITERALS as TOX_WORDS
 BASE_TS = pd.Timestamp("2025-06-01 00:00:00")
 TS_WINDOW_DAYS = 30
 

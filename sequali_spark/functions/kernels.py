@@ -226,13 +226,11 @@ def hash_tokens(toks: list[str]) -> np.ndarray:
     return out
 
 
-def flatten_tokens(texts: list[str], max_tokens: int | None = None) -> tuple[list[str], np.ndarray, np.ndarray]:
+def flatten_tokens(texts: list[str]) -> tuple[list[str], np.ndarray, np.ndarray]:
     """One tokenization pass for the whole batch: returns (flat token
     list, per-doc lengths, offsets[n+1])."""
     n = len(texts)
     tok_lists = [tokenize(t) for t in texts]
-    if max_tokens is not None:
-        tok_lists = [t[:max_tokens] for t in tok_lists]
     lengths = np.fromiter((len(t) for t in tok_lists), np.int64, n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])

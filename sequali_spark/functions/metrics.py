@@ -38,8 +38,14 @@ MAX_CTRL_RATIO = 0.005
 MAX_CHAR_RUN = 20
 MAX_DUP_LINE_FRAC = 0.30
 MAX_TOP_BIGRAM_FRAC = 0.20
-MAX_PERPLEXITY = 5_000.0
-MIN_LANG_CONF = 0.60
+# Model-gated thresholds are calibrated to reject GIBBERISH, not merely
+# out-of-domain text: a hashed add-k LM scores fully-unseen vocabulary
+# ~450k ppl and pure noise far higher, while unfamiliar-but-real prose
+# lands 10k-50k; the 4-way softmax margin floors at 0.25 for a flat
+# profile, so 0.30 keeps plausibly-classified text and still drops
+# profile-less noise.
+MAX_PERPLEXITY = 100_000.0
+MIN_LANG_CONF = 0.30
 
 RULE_ORDER = [
     "too_short",
@@ -103,7 +109,6 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     scrubbed, hit_frame = scrub.scrub_batch(
         texts, digit_counts=cls_counts[:, kernels.CLASS_DIGIT]
     )
-    scrubbed_bytes = [t.encode("utf-8") for t in scrubbed]
 
     html = pdf["html"]
     html_utf8 = np.ones(n, dtype=bool)
@@ -162,8 +167,9 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     # halves the bytes crossing the Arrow boundary on mostly-clean
     # corpora (cf. sequali emitting only aggregate state, never reads).
     touched = (hit_frame["pii_hits"].to_numpy() + hit_frame["tox_hits"].to_numpy()) > 0
+    scrubbed_vals = scrubbed.to_numpy()
     out["scrubbed_text"] = [
-        scrubbed_bytes[i] if touched[i] else None for i in range(n)
+        scrubbed_vals[i].encode("utf-8") if touched[i] else None for i in range(n)
     ]
     return out
 

@@ -25,32 +25,14 @@ from pyspark.sql import functions as F
 from sequali_spark.functions.metrics import METRIC_SCHEMA_DDL, compute_metrics
 
 PAGES_INPUT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+PAGES_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def _schema_subset(columns: list[str]) -> str:
-    fields = {}
-    for part in _split_ddl(METRIC_SCHEMA_DDL):
-        name = part.strip().split(" ", 1)[0]
-        fields[name] = part.strip()
-    return ", ".join(fields[c] for c in columns)
+def _schema_subset(columns: list[str]):
+    from pyspark.sql.types import StructType
 
-
-def _split_ddl(ddl: str) -> list[str]:
-    """Split a DDL string on top-level commas (array<...> contains none
-    that nest further than <>)."""
-    out, depth, cur = [], 0, []
-    for ch in ddl:
-        if ch == "<":
-            depth += 1
-        elif ch == ">":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    out.append("".join(cur))
-    return out
+    full = StructType.fromDDL(METRIC_SCHEMA_DDL)
+    return StructType([full[c] for c in columns])
 
 
 def run_metric_stage(pages: DataFrame, output_columns: list[str] | None = None) -> DataFrame:

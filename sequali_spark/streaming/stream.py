@@ -16,9 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sequali_spark.pipeline import run_metric_stage
-
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+from sequali_spark.pipeline import PAGES_SCHEMA_DDL as PAGES_SCHEMA, run_metric_stage
 
 
 def read_pages_stream(

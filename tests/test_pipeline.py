@@ -11,9 +11,7 @@ import pandas as pd
 import pytest
 
 from sequali_spark.oracle import oracle_metrics
-from sequali_spark.pipeline import PAGES_INPUT_COLUMNS, quality_pipeline
-
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+from sequali_spark.pipeline import PAGES_INPUT_COLUMNS, PAGES_SCHEMA_DDL as PAGES_SCHEMA, quality_pipeline
 
 
 def pages_df(spark, pdf: pd.DataFrame, partitions: int = 8):
@@ -82,9 +80,10 @@ def test_partitioning_invariance(spark, pages_tiny):
 def test_single_python_stage(spark, pages_tiny):
     """One-pass discipline: the physical plan contains exactly one
     Python/Arrow eval stage (SURVEY.md §7.4)."""
+    from sequali_spark.plans import checks
+
     df = quality_pipeline(spark, pages_df(spark, pages_tiny))
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert checks.count_python_stages(df) == 1
 
 
 def test_keep_drop_f1_score(spark_metrics, golden):
