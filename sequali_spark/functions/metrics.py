@@ -71,7 +71,7 @@ METRIC_SCHEMA_DDL = (
     "alpha_ratio double, digit_ratio double, upper_ratio double, "
     "space_ratio double, punct_ratio double, ctrl_ratio double, "
     "nonascii_ratio double, mean_word_len double, max_char_run bigint, "
-    "dup_line_frac double, top_bigram_frac double, "
+    "dup_line_frac double, top_bigram_frac double, compression_ratio double, "
     "lang_pred string, lang_conf double, perplexity double, "
     "pii_hits bigint, tox_hits bigint, html_utf8 boolean, "
     "fingerprint bigint, sampled boolean, shingles array<string>, "
@@ -147,6 +147,7 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
             "max_char_run": run,
             "dup_line_frac": ws["dup_line_frac"].to_numpy(),
             "top_bigram_frac": ws["top_bigram_frac"].to_numpy(),
+            "compression_ratio": kernels.compression_ratios(raw_bytes),
             "lang_pred": lang_pred,
             "lang_conf": lang_conf,
             "perplexity": ppl,

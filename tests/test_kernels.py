@@ -92,3 +92,12 @@ def test_winnow_fingerprints_shared_substring_guarantee():
     assert 0 < len(fa) < len(a) // 4
     assert winnow_fingerprints(b"").size == 0
     assert winnow_fingerprints(b"tiny").size == 0  # < k
+
+
+def test_compression_ratios():
+    from sequali_spark.functions.kernels import compression_ratios
+
+    out = compression_ratios([b"", b"a" * 1000, bytes(range(256)) * 4])
+    assert out[0] == 1.0
+    assert out[1] < 0.05  # pure repetition compresses away
+    assert out[2] > out[1]  # richer byte diversity compresses worse
