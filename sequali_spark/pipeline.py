@@ -48,8 +48,24 @@ def run_metric_stage(pages: DataFrame, output_columns: list[str] | None = None) 
     boundary — Catalyst cannot prune projections *through* a
     mapInPandas black box, so jobs that sink a subset declare it here
     (manual pushdown of the projection into the Python stage).
+
+    Schema tolerance: extra table columns are ignored; the optional
+    ``html``/``lang`` columns are null-filled when absent (real tables
+    drift — cf. the reference's missing-qualities repair at scan,
+    _qcmodule.c:1656-1665).  ``url``/``warc_ts``/``text`` are required.
     """
-    pruned = pages.select(*PAGES_INPUT_COLUMNS)
+    present = set(pages.columns)
+    sel_cols = []
+    for c in PAGES_INPUT_COLUMNS:
+        if c in present:
+            sel_cols.append(F.col(c))
+        elif c == "html":
+            sel_cols.append(F.lit(None).cast("binary").alias(c))
+        elif c == "lang":
+            sel_cols.append(F.lit(None).cast("string").alias(c))
+        else:
+            raise ValueError(f"pages table is missing required column '{c}'")
+    pruned = pages.select(*sel_cols)
     cols = output_columns
 
     def _batches(it):

@@ -128,3 +128,25 @@ def test_degenerate_inputs(spark):
     assert rows["https://edge.example.org/3"]["nonascii_ratio"] > 0
     assert rows["https://edge.example.org/4"]["n_words"] == 50_000
     assert "bad_html_encoding" in rows["https://edge.example.org/5"]["drop_reasons"]
+
+
+def test_schema_tolerance(spark):
+    """Missing optional columns (html, lang) null-fill; extra columns are
+    ignored; missing required columns raise a clear error."""
+    import pandas as pd
+    import pytest as _pytest
+
+    base = pd.DataFrame(
+        {
+            "url": ["https://h/1"],
+            "warc_ts": pd.to_datetime(["2025-06-01"]),
+            "text": ["some reasonable document text with enough words to pass the gates ok"],
+            "extra_col": [42],
+        }
+    )
+    df = spark.createDataFrame(base)
+    out = quality_pipeline(spark, df, repartition=False).collect()
+    assert len(out) == 1 and out[0]["html_utf8"] is True and out[0]["lang"] is None
+
+    with _pytest.raises(Exception, match="missing required column 'text'"):
+        quality_pipeline(spark, df.drop("text"), repartition=False)
