@@ -196,19 +196,24 @@ SCALING_LADDER = (2, 8, 32)
 def run_scaling(rows: int) -> dict:
     results = {}
     for cpus in SCALING_LADDER:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus), "--rows", str(rows)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"throughput child (cpus={cpus}) failed rc={proc.returncode}:\n"
-                + proc.stderr[-3000:]
+        best = None
+        for _ in range(2):  # two independent JVMs per config: hypervisor
+            proc = subprocess.run(  # noise spans whole processes too
+                [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus), "--rows", str(rows)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
             )
-        results[cpus] = json.loads(lines[-1])
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"throughput child (cpus={cpus}) failed rc={proc.returncode}:\n"
+                    + proc.stderr[-3000:]
+                )
+            got = json.loads(lines[-1])
+            if best is None or got["docs_per_sec"] > best["docs_per_sec"]:
+                best = got
+        results[cpus] = best
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     summary = {
