@@ -151,6 +151,32 @@ def _pages_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio in basis points (repetitiveness
+    signal; rows-only — the kernel is Python-side)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _batches(it):
+        from sequali_spark.functions.kernels import compression_ratios
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ratios = compression_ratios([(t or "").encode("utf-8") for t in pdf["text"]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "compression_bps": (ratios * 10000).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(_batches, schema="doc_id long, compression_bps long").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sequali_spark.operators import dedup, events, relational, similarity, textqc
 
@@ -212,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_report": _pages_host_report,
         "doc_langid": _doc_langid,
         "doc_perplexity": _doc_perplexity,
+        "doc_compression_ratio": _doc_compression_ratio,
     }
 
 
