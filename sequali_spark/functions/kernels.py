@@ -368,15 +368,20 @@ def winnow_fingerprints(text: bytes, k: int = WINNOW_K, w: int = WINNOW_W) -> np
     return np.unique(mins)
 
 
+COMPRESS_CAP = 1 << 16  # measure at most the first 64 KiB per doc
+
+
 def compression_ratios(texts: list[bytes], level: int = 1) -> np.ndarray:
     """zlib-compressed size / raw size per doc (1.0 for empty docs).
 
     A standard web-QC repetitiveness signal: highly repetitive or
     templated documents compress far below natural prose (~0.4-0.6);
     the cheap, language-agnostic complement to the bigram/line
-    repetition metrics. Level 1 keeps it ~100MB/s per core."""
+    repetition metrics.  Level 1 + a 64 KiB cap bound per-doc cost
+    (the same bounded-work-per-record discipline as MAX_TOKENS)."""
     out = np.ones(len(texts), dtype=np.float64)
     for i, t in enumerate(texts):
         if t:
-            out[i] = len(zlib.compress(t, level)) / len(t)
+            sample = t[:COMPRESS_CAP]
+            out[i] = len(zlib.compress(sample, level)) / len(sample)
     return out
