@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_probe_position_curve": textqc.probe_position_curve,
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_token_count_bpeish": textqc.token_count_bpeish,
+        "doc_type_token_ratio": textqc.type_token_ratio,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_daily_pivot": events.event_type_hourly_pivot,
         "events_asof_join": events.asof_last_click_before_error,
         "events_props_json": events.props_json_stats,
+        "events_gap_stats": events.inter_event_gap_stats,
         # --- similarity search over embeddings ---
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
@@ -533,6 +535,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_type_token_ratio": """
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            SELECT source, count(*) AS tokens, count(DISTINCT tok) AS distinct_tokens,
+                   CAST(floor(10000.0 * count(DISTINCT tok) / count(*)) AS BIGINT) AS ttr_bps
+            FROM toks GROUP BY source ORDER BY source
+        """,
+        "events_gap_stats": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+              FROM events
+            )
+            SELECT user_id, count(*) AS gaps,
+                   CAST(floor(avg(gap_s)) AS BIGINT) AS mean_gap_s,
+                   max(gap_s) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "emb_norms": """
             SELECT vec_id, label,

@@ -169,3 +169,22 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (lead/lag window over the
+    event stream): events, mean/max gap seconds — the arrival-cadence
+    report (translocation-speed histogram spirit, A17)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gaps = e.select("user_id", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("gaps"),
+            F.floor(F.avg("gap_s")).cast("long").alias("mean_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -404,3 +404,22 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio (distinct tokens / tokens, bps) —
+    the lexical-diversity quality metric (low TTR = templated/repetitive
+    text), computed as explode -> two-level distinct aggregation."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+            F.floor(F.lit(10000) * F.countDistinct("tok") / F.count("*"))
+            .cast("long")
+            .alias("ttr_bps"),
+        )
+        .orderBy("source")
+    )
