@@ -266,22 +266,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_length_histogram": """
             SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS length_bucket,
-                   count(*) AS docs, sum(n_chars) AS chars
+                   count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "doc_length_cumdist": """
             WITH h AS (
               SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS length_bucket,
-                     count(*) AS docs, sum(n_chars) AS chars
+                     count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
               FROM documents GROUP BY 1
             )
             SELECT length_bucket, docs,
-                   sum(docs) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
-                   sum(chars) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+                   CAST(sum(docs) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+                   CAST(sum(chars) OVER (ORDER BY length_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
             FROM h ORDER BY length_bucket
         """,
         "doc_per_source_quality": """
-            SELECT source, count(*) AS docs, sum(n_chars) AS total_chars,
+            SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(floor(10000.0 * sum(n_chars) / count(*)) AS BIGINT) AS mean_chars_bps,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY source ORDER BY source
@@ -300,7 +300,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
             )
             SELECT doc_id, count(*) AS n_tokens,
-                   sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS n_stop,
+                   CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
                    CAST(floor(10000.0 * sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_bps
             FROM toks GROUP BY doc_id ORDER BY doc_id
         """,
@@ -335,16 +335,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_position_char_profile": """
             SELECT CAST(floor((g.i - 1) / 10) AS BIGINT) AS pos_bucket,
                    count(*) AS chars,
-                   sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN 'a' AND 'z' THEN 1 ELSE 0 END) AS alpha,
-                   sum(CASE WHEN substr(d.text, g.i, 1) = ' ' THEN 1 ELSE 0 END) AS spaces,
-                   sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS digits
+                   CAST(sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN 'a' AND 'z' THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
+                   CAST(sum(CASE WHEN substr(d.text, g.i, 1) = ' ' THEN 1 ELSE 0 END) AS BIGINT) AS spaces,
+                   CAST(sum(CASE WHEN substr(d.text, g.i, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS BIGINT) AS digits
             FROM documents d,
                  LATERAL (SELECT unnest(generate_series(1, least(length(d.text), 100))) AS i) g
+            WHERE length(d.text) > 0
             GROUP BY 1 ORDER BY 1
         """,
         "doc_log_length_histogram": """
             SELECT CAST(floor(ln(greatest(n_chars, 1)) / ln(2)) AS BIGINT) AS log2_bucket,
-                   count(*) AS docs, sum(n_chars) AS chars
+                   count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "doc_per_source_deviation": """
@@ -406,12 +407,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(date_trunc('hour', warc_ts) AS TIMESTAMP) AS hour,
                    count(*) AS docs, count(DISTINCT host) AS distinct_hosts,
-                   sum(n) AS chars
+                   CAST(sum(n) AS BIGINT) AS chars
             FROM pages GROUP BY 1 ORDER BY 1
         """,
         "pages_host_report": """
             SELECT source || '.example.org' AS host, count(*) AS docs,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    min(length(text)) AS min_chars, max(length(text)) AS max_chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,
@@ -427,7 +428,7 @@ def oracle_sql() -> dict[str, str]:
               FROM hits GROUP BY 1, 2
             )
             SELECT probe, pos_bucket, docs,
-                   sum(docs) OVER (PARTITION BY probe ORDER BY pos_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs
+                   CAST(sum(docs) OVER (PARTITION BY probe ORDER BY pos_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
             FROM h ORDER BY probe, pos_bucket
         """,
         "doc_bottom_decile": """
@@ -442,8 +443,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count_bpeish": """
             SELECT source, count(*) AS docs,
-                   sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpeish_tokens,
-                   sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1) AS ws_tokens
+                   CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpeish_tokens,
+                   CAST(sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1) AS BIGINT) AS ws_tokens
             FROM documents WHERE length(text) > 0
             GROUP BY source ORDER BY source
         """,
@@ -466,13 +467,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_report": """
             SELECT date_trunc('hour', ts) AS hour, count(*) AS events,
                    count(DISTINCT user_id) AS distinct_users,
-                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "events_type_totals": """
             SELECT event_type, count(*) AS events,
                    count(DISTINCT user_id) AS distinct_users,
-                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_daily_cumulative": """
@@ -481,7 +482,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             )
             SELECT event_type, day, events,
-                   sum(events) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+                   CAST(sum(events) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
             FROM d ORDER BY event_type, day
         """,
         "events_sessionize": """
@@ -504,20 +505,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions,
                    max(session_events) AS max_session_events,
-                   sum(session_events) AS total_events
+                   CAST(sum(session_events) AS BIGINT) AS total_events
             FROM per_session GROUP BY user_id ORDER BY user_id
         """,
         "events_top_users": """
-            SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS value_sum, count(*) AS events
+            SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum, count(*) AS events
             FROM events GROUP BY user_id ORDER BY value_sum DESC, user_id LIMIT 25
         """,
         "events_type_daily_pivot": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "events_asof_join": """
@@ -529,7 +530,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_json": """
             SELECT event_type, count(*) AS events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
             FROM events
@@ -600,7 +601,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_pricing_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS orders,
-                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -610,22 +611,22 @@ def oracle_sql() -> dict[str, str]:
               VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9)
             )
             SELECT band, count(*) AS events,
-                   sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band ORDER BY band
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
         """,
         "rel_top_unshipped": """
             SELECT l_orderkey, o_orderdate,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

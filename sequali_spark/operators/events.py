@@ -24,7 +24,7 @@ def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("events"),
             F.countDistinct("user_id").alias("distinct_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
         )
         .orderBy("hour")
     )
@@ -37,7 +37,7 @@ def event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("events"),
             F.countDistinct("user_id").alias("distinct_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
         )
         .orderBy("event_type")
     )
@@ -91,7 +91,7 @@ def top_users_by_value(spark: SparkSession, sf_dir: str, top_n: int = 25) -> Dat
     return (
         e.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
             F.count("*").alias("events"),
         )
         .orderBy(F.desc("value_sum"), "user_id")

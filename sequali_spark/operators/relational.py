@@ -25,9 +25,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))).alias("sum_disc_price"),
+            # widen the FINAL sums to one pinned type: Spark's sum(decimal(18,6))
+            # is decimal(28,6) while other ANSI engines widen to decimal(38,6) —
+            # pin both sides so value hashes match bit-for-bit
+            F.sum(_dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,6)").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))).cast("decimal(38,12)").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -46,7 +49,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, top_n: int = 10) -> D
         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .filter((F.col("o_orderdate") < F.lit("1995-03-15")) & (F.col("l_shipdate") > F.lit("1995-03-15")))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(revenue.alias("revenue"))
+        .agg(revenue.cast("decimal(38,12)").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(top_n)
     )
@@ -73,7 +76,7 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("orders"),
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
         )
         .orderBy(
             F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
@@ -97,7 +100,7 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count("*").alias("events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
         )
         .orderBy("band")
     )

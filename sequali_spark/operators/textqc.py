@@ -210,6 +210,9 @@ def position_char_profile(spark: SparkSession, sf_dir: str, max_pos: int = 100, 
     explode(position) -> groupBy(bucket): Catalyst's partial+final agg
     plays the reference's uint16-staging/uint64-flush two-level scheme."""
     d = load(spark, sf_dir, "documents")
+    # empty text would make sequence(1, 0) step DOWNWARD to [1, 0] and
+    # emit phantom positions — filter first (the oracle mirrors this)
+    d = d.filter(F.length("text") > 0)
     pos = F.explode(F.sequence(F.lit(1), F.least(F.length("text"), F.lit(max_pos)))).alias("i")
     chars = d.select(F.col("text"), pos).select(
         (F.floor((F.col("i") - 1) / bucket)).cast("long").alias("pos_bucket"),
