@@ -66,8 +66,13 @@ def _pages_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not over every core: each fresh Python worker pays import+model
     # init, which dominates a 5k-doc input
     pages = pages.repartition(min(8, spark.sparkContext.defaultParallelism))
-    m = quality_pipeline(spark, pages, repartition=False)
-    return m.select("url", "lang_pred", "keep", "pii_hits", "tox_hits").orderBy("url")
+    # prune INSIDE the Arrow stage: Catalyst can't push a projection
+    # through mapInPandas, so declare the 5 sunk columns explicitly —
+    # shipping the full 30-column metric struct (incl. scrubbed_text)
+    # across the Arrow boundary was the single largest bench cost in r1
+    out_cols = ["url", "lang_pred", "keep", "pii_hits", "tox_hits"]
+    m = quality_pipeline(spark, pages, repartition=False, output_columns=out_cols)
+    return m.select(*out_cols).orderBy("url")
 
 
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +182,12 @@ def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_batches, schema="doc_id long, compression_bps long").orderBy("doc_id")
 
 
+def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.operators.aggregates import boilerplate_id_query
+
+    return boilerplate_id_query(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sequali_spark.operators import dedup, events, relational, similarity, textqc
 
@@ -203,6 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_token_count_bpeish": textqc.token_count_bpeish,
         "doc_type_token_ratio": textqc.type_token_ratio,
+        "doc_n50_report": textqc.n50_report,
+        "doc_boilerplate_id": _boilerplate_id,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
@@ -447,6 +460,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1) AS BIGINT) AS ws_tokens
             FROM documents WHERE length(text) > 0
             GROUP BY source ORDER BY source
+        """,
+        "doc_n50_report": """
+            WITH h AS (
+              SELECT n_chars, CAST(sum(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY n_chars
+            ), c AS (
+              SELECT n_chars,
+                     CAST(sum(chars) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM h
+            ), m AS (
+              SELECT n_chars, cum, max(cum) OVER () AS total FROM c
+            )
+            SELECT min(CASE WHEN cum * 2 >= total THEN n_chars END) AS n50_chars,
+                   min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS n90_chars
+            FROM m
+        """,
+        "doc_boilerplate_id": """
+            WITH overrep AS (
+              SELECT s.shingle, count(*) AS cnt FROM (
+                SELECT DISTINCT d.doc_id, substr(d.text, g.i, 8) AS shingle
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0), 8)) AS i) g
+                WHERE length(substr(d.text, g.i, 8)) = 8
+              ) s
+              GROUP BY s.shingle HAVING count(*) >= 3
+              ORDER BY cnt DESC, s.shingle LIMIT 50
+            ), boiler(name, content) AS (
+              VALUES ('customer-notice', 'dear customer your account statement is ready'),
+                     ('sql-reference', 'select filter window column from stream'),
+                     ('cookie-banner', 'we use cookies to improve your experience')
+            ), tiers AS (
+              SELECT o.shingle, b.name, t.tier
+              FROM overrep o
+              JOIN (VALUES (0, 8), (1, 6), (2, 4)) t(tier, k) ON TRUE
+              JOIN boiler b ON contains(b.content, substr(o.shingle, 1, t.k))
+            ), best AS (
+              SELECT shingle, name, tier,
+                     row_number() OVER (PARTITION BY shingle ORDER BY tier, name) AS rn
+              FROM tiers
+            )
+            SELECT o.shingle, o.cnt, b.name AS best_match,
+                   CAST(b.tier AS BIGINT) AS match_tier
+            FROM overrep o LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON o.shingle = b.shingle
+            ORDER BY o.cnt DESC, o.shingle
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

@@ -139,8 +139,10 @@ def url_sample_mask(urls: pd.Series, sample_every: int = 8) -> np.ndarray:
     (reference: _qcmodule.c:3833-3836, default 8 at :3431): a sequential
     index is not reproducible under distribution, a key hash is.
     """
+    # None -> b'': NULL urls soft-degrade like NULL text/html in
+    # compute_metrics instead of killing the whole metric stage
     return np.fromiter(
-        (stable_hash64(u.encode("utf-8")) % sample_every == 0 for u in urls),
+        (stable_hash64((u or "").encode("utf-8")) % sample_every == 0 for u in urls),
         dtype=bool,
         count=len(urls),
     )

@@ -137,6 +137,37 @@ def identify_overrepresented(
     )
 
 
+# deterministic known-boilerplate DB for the driver-checked
+# identification query — plays the reference's contaminant FASTA list
+# (reference: sequence_identification.py:20-60 ships a fixed DB);
+# contents chosen so the retry ladder is exercised: full-shingle hits,
+# prefix-only hits, and misses
+BOILERPLATE_DB = [
+    ("customer-notice", "dear customer your account statement is ready"),
+    ("sql-reference", "select filter window column from stream"),
+    ("cookie-banner", "we use cookies to improve your experience"),
+]
+
+
+def boilerplate_id_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-checked J2: overrepresented shingles matched against the
+    known-boilerplate DB with the shrinking-prefix retry ladder — the
+    contaminant-identification flagship (reference:
+    sequence_identification.py:88-181; integration test asserts the
+    Illumina adapter is named at tests/test_integration.py:97-124)."""
+    from sequali_spark.operators.textqc import overrep_shingles_sql
+
+    overrep = overrep_shingles_sql(spark, sf_dir).withColumnRenamed("cnt", "count")
+    boiler = spark.createDataFrame(BOILERPLATE_DB, schema="name string, content string")
+    out = identify_overrepresented(overrep, boiler, retry_ks=(8, 6, 4))
+    return out.select(
+        "shingle",
+        F.col("count").alias("cnt"),
+        "best_match",
+        F.col("match_tier").cast("long").alias("match_tier"),
+    ).orderBy(F.desc("cnt"), "shingle")
+
+
 def per_host_report(metric_df: DataFrame) -> DataFrame:
     """Per-host quality — the PerTileQuality transplant (reference:
     _qcmodule.c:2971-3395 accumulates (tile, position)->error sums;

@@ -37,19 +37,22 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def brute_force_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
-) -> DataFrame:
+def brute_force_topk_for(e: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side, JVM-side dot
     product, per-query row_number — the baseline every ANN variant is
     measured against.  At scale: queries are always the broadcast side;
     the corpus side streams, no shuffle until the tiny top-k agg."""
-    e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     return _rerank_topk(pairs, k)
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    return brute_force_topk_for(load(spark, sf_dir, "embeddings"), n_queries=n_queries, k=k)
 
 
 def _hyperplanes(n_planes: int = 16, dim: int = EMB_DIM, seed: int = 271) -> np.ndarray:
@@ -94,15 +97,27 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
-def lsh_bucketed_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 12
+def lsh_topk_for(
+    e: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    hamming_probes: int = 2,
 ) -> DataFrame:
-    """Sign-LSH ANN: bucket = sign pattern under seeded random
-    hyperplanes; candidates share a bucket with the query (multi-probe:
-    exact bucket only here), then exact cosine re-rank.  The scale path:
-    the bucket join replaces the full cross product — candidate count
-    drops ~2^n_planes-fold on uniform data."""
-    e = load(spark, sf_dir, "embeddings")
+    """Sign-LSH ANN with MULTI-PROBE: bucket = sign pattern under seeded
+    random hyperplanes; each query probes its exact bucket PLUS every
+    bucket within Hamming distance ``hamming_probes`` (sign-bit flips),
+    then candidates get an exact cosine re-rank.
+
+    Multi-probe is the recall lever (Lv et al., VLDB'07): a true
+    neighbor that lands one hyperplane away is recovered by probing the
+    flipped bucket instead of by building more hash tables.  r1's
+    single-probe variant returned 2/50 rows — near-zero recall on
+    weakly-separated data.  Probe count is (1 + P + P(P-1)/2) for
+    Hamming<=2 over P planes; the probe set explodes on the tiny
+    broadcast QUERY side, so the corpus-side cost is one bucket-join —
+    candidates scale with probes/2^P of the corpus, tunable per the
+    recall/cost target."""
     planes = _hyperplanes(n_planes)
     buckets = e.select("vec_id", "embedding").mapInPandas(
         _bucketize_kernel(planes), schema="vec_id long, bucket long"
@@ -113,11 +128,44 @@ def lsh_bucketed_topk(
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    probe_masks = [0]
+    if hamming_probes >= 1:
+        probe_masks += [1 << i for i in range(n_planes)]
+    if hamming_probes >= 2:
+        probe_masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])
+        ).alias("probe_bucket"),
+    )
+    # a vector has exactly one bucket and probe buckets are distinct, so
+    # a candidate matches at most one probe -> no dedup needed
     cand = eb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _rerank_topk(cand, k)
+
+
+def lsh_bucketed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    hamming_probes: int = 2,
+) -> DataFrame:
+    return lsh_topk_for(
+        load(spark, sf_dir, "embeddings"),
+        n_queries=n_queries,
+        k=k,
+        n_planes=n_planes,
+        hamming_probes=hamming_probes,
+    )
 
 
 def embedding_near_dup_pairs(

@@ -409,6 +409,30 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def n50_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N50/N90 analogue: the smallest doc length at which the ascending
+    cumulative char mass reaches 50% / 90% of the corpus — the
+    reference's flagship length statistic computed by cumulative walk
+    over the (tiny) length histogram, never a sketch (reference:
+    report_modules.py:621-633; integration test pins n50==59502 at
+    tests/test_integration.py:127-137).  Integer comparisons
+    (cum*2 >= total) keep both engines bit-exact."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("n_chars").agg(F.sum("n_chars").alias("chars"))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("n_chars", F.sum("chars").over(w).alias("cum_chars"))
+    total = F.max("cum_chars").over(W.partitionBy())
+    marks = cum.select("n_chars", "cum_chars", total.alias("total"))
+    return marks.agg(
+        F.min(F.when(F.col("cum_chars") * 2 >= F.col("total"), F.col("n_chars"))).alias(
+            "n50_chars"
+        ),
+        F.min(
+            F.when(F.col("cum_chars") * 10 >= F.col("total") * 9, F.col("n_chars"))
+        ).alias("n90_chars"),
+    )
+
+
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive

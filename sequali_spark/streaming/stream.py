@@ -84,12 +84,16 @@ def streaming_dedup_labels(
     watermark: str = "1 day",
     output_columns: list[str] | None = None,
 ) -> DataFrame:
-    """Streaming exact-dedup by url within the watermark horizon:
-    dropDuplicates keyed on url with a warc_ts watermark bounds the
-    dedup state (urls older than the watermark age out of the state
-    store) — the streaming twin of the batch groupBy-digest dedup, and
-    the same bounded-state philosophy as sequali's capped fingerprint
-    store (reference: _qcmodule.c:4248-4253), except the bound is
-    event-time, not row count, so it is deterministic."""
-    deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    """Streaming exact-dedup by url within the watermark horizon —
+    ``dropDuplicatesWithinWatermark``: a url's dedup state is evicted
+    once the watermark passes its event time, so state is bounded by the
+    watermark window (plain ``dropDuplicates(["url"])`` would keep every
+    url forever — the key omits the event-time column, so Spark cannot
+    age anything out).  The streaming twin of the batch groupBy-digest
+    dedup, and the same bounded-state philosophy as sequali's capped
+    fingerprint store (reference: _qcmodule.c:4248-4253), except the
+    bound is event-time, not row count, so it is deterministic."""
+    deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
     return run_metric_stage(deduped, output_columns=output_columns)

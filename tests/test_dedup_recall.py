@@ -135,3 +135,154 @@ def test_dedup_keepers(spark, sf_dir):
         keepers = [m for m in members if m["keep_doc"]]
         assert len(keepers) == 1
         assert keepers[0]["doc_id"] == comp_id == min(m["doc_id"] for m in members)
+
+
+# --- scale guards: degenerate clusters must stay bounded ---------------------
+
+@pytest.fixture(scope="module")
+def mega_cluster_dir(spark, tmp_path_factory):
+    """documents table with a planted mega-cluster: 80 byte-identical
+    docs + 3 empty docs + 10 distinct docs (2 of which are near-dups)."""
+    import random
+
+    rng = random.Random(7)
+
+    def prose(n, vocab):
+        # per-doc vocabulary so genuinely distinct docs don't share
+        # character shingles (tiny shared vocab => high true Jaccard)
+        words = [f"{w}{vocab}" for w in ("alpha", "beta", "gamma", "delta", "web", "page")]
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    boiler = prose(120, "boil")
+    near_a = prose(150, "near")
+    near_b = near_a.replace("alphanear", "omeganear", 1)
+    rows = (
+        [(i, boiler) for i in range(80)]
+        + [(80, ""), (81, ""), (82, "")]
+        + [(83, near_a), (84, near_b)]
+        + [(85 + i, prose(100 + 7 * i, f"v{i}")) for i in range(8)]
+    )
+    d = tmp_path_factory.mktemp("mega")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_minhash_bucket_cap_bounds_identical_cluster(spark, mega_cluster_dir):
+    """80 identical docs would put 80 ids in every band bucket (80^2/2
+    candidates per band); the bucket cap drops them before the join."""
+    docs = dedup.load(spark, mega_cluster_dir, "documents")
+    pairs = dedup.minhash_pairs_for(docs, threshold=0.8, max_bucket=64).collect()
+    ids_in_cluster = {r["doc_a"] for r in pairs if r["doc_a"] < 80} | {
+        r["doc_b"] for r in pairs if r["doc_b"] < 80
+    }
+    assert not ids_in_cluster, "mega-cluster ids must not reach the pair join"
+    # the rare-bucket near-dup pair survives the cap
+    assert (83, 84) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
+def test_minhash_near_dup_collapses_exact_first(spark, mega_cluster_dir):
+    """The public query collapses exact dups to a representative, so the
+    mega-cluster contributes ONE id and no quadratic candidates."""
+    pairs = dedup.minhash_near_dup_pairs(spark, mega_cluster_dir, threshold=0.8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert all(not (a < 80 and b < 80) for a, b in got), "no intra-cluster pairs"
+    assert (83, 84) in got
+
+
+def test_simhash_drops_degenerate_and_identical(spark, mega_cluster_dir):
+    pairs = dedup.simhash_near_dup_pairs(spark, mega_cluster_dir, max_hamming=6)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # empty docs (simhash 0) never pair; identical docs collapsed to one rep
+    assert all(a not in (80, 81, 82) and b not in (80, 81, 82) for a, b in got)
+    assert all(not (a < 80 and b < 80) for a, b in got)
+    assert (83, 84) in got
+
+
+def test_winnow_stop_fingerprint_cap(spark, mega_cluster_dir):
+    """Every fingerprint of the 80-doc identical cluster has 80 postings
+    (> cap 64) -> dropped; disabling the cap shows the quadratic blowup
+    the guard prevents."""
+    capped = dedup.winnow_overlap_pairs(spark, mega_cluster_dir, max_postings=64)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert all(not (a < 80 and b < 80) for a, b in got)
+    uncapped = dedup.winnow_overlap_pairs(spark, mega_cluster_dir, max_postings=0)
+    n_intra = uncapped.filter("doc_a < 80 AND doc_b < 80").count()
+    assert n_intra == 80 * 79 / 2  # the blowup the cap removes
+
+
+def test_dedup_keepers_folds_exact_dups(spark, mega_cluster_dir):
+    rows = dedup.dedup_keepers(spark, mega_cluster_dir, threshold=0.8).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    # the 80 identical docs form one cluster with keeper 0
+    assert len(by_comp[0]) == 80
+    assert sum(r["keep_doc"] for r in by_comp[0]) == 1
+    assert next(r["doc_id"] for r in by_comp[0] if r["keep_doc"]) == 0
+    # the near-dup pair forms its own cluster with keeper 83
+    assert {r["doc_id"] for r in by_comp[83]} == {83, 84}
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A 21-node path graph needs 20 propagation rounds; at max_iter=5
+    strict mode raises instead of returning split clusters."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], schema="doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=5, strict=True)
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(chain, max_iter=25).collect()
+    }
+    assert set(labels.values()) == {0}
+
+
+# --- multi-probe LSH recall --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """500 unit vectors in 10 tight clusters (where LSH is meaningful —
+    the driver's embeddings are isotropic random, on which NO sublinear
+    ANN can reach high recall)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(10, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + 0.04 * rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label long"
+    )
+
+
+def test_multiprobe_lsh_recall(spark, clustered_embeddings):
+    from sequali_spark.operators import similarity
+
+    bf = similarity.brute_force_topk_for(clustered_embeddings, n_queries=10, k=5).collect()
+    lsh = similarity.lsh_topk_for(
+        clustered_embeddings, n_queries=10, k=5, n_planes=8, hamming_probes=2
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"multi-probe recall {recall:.2f}"
+
+
+def test_multiprobe_beats_single_probe(spark, clustered_embeddings):
+    from sequali_spark.operators import similarity
+
+    single = similarity.lsh_topk_for(
+        clustered_embeddings, n_queries=10, k=5, n_planes=8, hamming_probes=0
+    ).count()
+    multi = similarity.lsh_topk_for(
+        clustered_embeddings, n_queries=10, k=5, n_planes=8, hamming_probes=2
+    ).count()
+    assert multi > single
