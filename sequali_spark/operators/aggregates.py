@@ -236,13 +236,21 @@ def length_distribution(metric_df: DataFrame, bucket: int = 100) -> DataFrame:
         .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
     )
     w = W.orderBy("length_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    totals = hist.agg(F.sum("docs"), F.sum("chars")).first()
-    total_docs, total_chars = totals[0] or 0, totals[1] or 0
+    # totals via a global window over the (tiny) histogram — one job,
+    # no eager .first() mid-build (which cost an extra Spark job per
+    # invocation and broke lazy composition)
+    wg = W.partitionBy()
     return (
         hist.withColumn("cum_docs", F.sum("docs").over(w))
         .withColumn("cum_chars", F.sum("chars").over(w))
-        .withColumn("cum_doc_frac", F.col("cum_docs") / F.lit(max(total_docs, 1)))
-        .withColumn("cum_char_frac", F.col("cum_chars") / F.lit(max(total_chars, 1)))
+        .withColumn(
+            "cum_doc_frac",
+            F.col("cum_docs") / F.greatest(F.sum("docs").over(wg), F.lit(1)),
+        )
+        .withColumn(
+            "cum_char_frac",
+            F.col("cum_chars") / F.greatest(F.sum("chars").over(wg), F.lit(1)),
+        )
         .orderBy("length_bucket")
     )
 

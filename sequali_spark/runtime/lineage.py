@@ -74,6 +74,7 @@ def run_resumable(
     lineage_dir: str,
     output_columns: list[str] | None = None,
     max_units: int | None = None,
+    force_units: list[str] | None = None,
 ) -> list[str]:
     """Run the quality pipeline unit-by-unit (warc_ts day), checkpointing
     each unit.  Returns the list of units processed in THIS invocation
@@ -81,6 +82,14 @@ def run_resumable(
 
     ``max_units`` bounds this invocation (used by the kill-and-resume
     test to simulate a mid-table crash).
+
+    ``force_units`` re-runs specific units even if lineage marks them
+    done — the reprocess path when a unit's INPUT changed (late-arriving
+    crawl data, fixed extraction).  Dynamic partition overwrite makes
+    the re-run a MERGE-by-replacement: the unit's output partition is
+    replaced exactly, never appended, so downstream readers see one
+    consistent copy (on Iceberg this is `overwritePartitions`; parquet
+    dynamic overwrite is the sandbox equivalent).
     """
     from sequali_spark.pipeline import quality_pipeline
 
@@ -94,7 +103,7 @@ def run_resumable(
         .orderBy("unit")
         .collect()
     ]
-    done = completed_units(spark, lineage_dir)
+    done = completed_units(spark, lineage_dir) - set(force_units or [])
     todo = [u for u in all_units if u not in done]
     if max_units is not None:
         todo = todo[:max_units]

@@ -57,3 +57,43 @@ def test_rerun_is_idempotent(spark, pages, tmp_path):
     # no duplicate rows in output
     total = spark.read.parquet(out).count()
     assert total == pages.count()
+
+
+def test_force_rerun_replaces_unit_output(spark, pages, tmp_path):
+    """MERGE-by-replacement on the parquet fallback: re-running one unit
+    with CHANGED input replaces that unit's partition exactly (no
+    duplicates, new content visible), leaving other units untouched —
+    the TableIO/Iceberg overwritePartitions contract."""
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+    lineage.run_resumable(spark, pages, out, lin)
+    before = spark.read.parquet(out)
+    # partition-column inference reads `day` back as DATE; lineage units
+    # are the string form
+    days = sorted(str(r["day"]) for r in before.select("day").distinct().collect())
+    target = days[0]
+    n_target_before = before.filter(F.col("day") == target).count()
+    other_before = before.filter(F.col("day") != target).count()
+
+    # changed input: drop half the target day's docs (sorted-url halves
+    # are deterministic), keep other days identical
+    target_urls = sorted(
+        r["url"]
+        for r in pages.filter(F.to_date("warc_ts") == target).select("url").collect()
+    )
+    keep_urls = set(target_urls[: len(target_urls) // 2])
+    changed = pages.filter(
+        (F.to_date("warc_ts") != target) | F.col("url").isin(list(keep_urls))
+    )
+
+    redone = lineage.run_resumable(spark, changed, out, lin, force_units=[target])
+    assert redone == [target]
+
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("day") == target).count() == len(keep_urls)
+    assert after.filter(F.col("day") != target).count() == other_before
+    # output rows == changed input rows: replaced exactly, never appended
+    # (the fixture plants one duplicate url by design, so compare counts
+    # against the input rather than asserting url uniqueness)
+    assert after.count() == changed.count()
+    assert n_target_before > len(keep_urls)  # the replacement actually shrank it
