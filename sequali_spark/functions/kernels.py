@@ -107,18 +107,36 @@ def char_class_counts(texts: list[bytes]) -> np.ndarray:
 
 
 def max_char_run(texts: list[bytes]) -> np.ndarray:
-    """Longest run of one repeated byte per doc (junk detector)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        a = np.frombuffer(t, dtype=np.uint8)
-        if len(a) == 1:
-            out[i] = 1
-            continue
-        change = np.flatnonzero(a[1:] != a[:-1])
-        bounds = np.concatenate(([-1], change, [len(a) - 1]))
-        out[i] = int(np.max(np.diff(bounds)))
+    """Longest run of one repeated byte per doc (junk detector).
+
+    Batched: run boundaries are computed once over the concatenated
+    buffer, with doc offsets forced in as boundaries so a run never
+    spans two documents; per-doc max via one scatter-max.  (The per-doc
+    NumPy-call loop this replaced was overhead-bound on small docs.)"""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    buf, offsets = _concat_bytes(texts)
+    if len(buf) == 0:
+        return out
+    # O(n) boolean break mask (a sort-based union of change points and
+    # offsets was itself the hot spot): position p starts a new run if
+    # the byte changes there or a doc boundary is forced there
+    brk = np.empty(len(buf) + 1, dtype=bool)
+    brk[0] = True
+    brk[-1] = True
+    brk[1:-1] = buf[1:] != buf[:-1]
+    brk[offsets] = True
+    bounds = np.flatnonzero(brk)
+    run_lens = np.diff(bounds)
+    # runs are doc-contiguous (sorted by position), so the per-doc max is
+    # one maximum.reduceat over each doc's first-run index — empty docs
+    # own no runs and are excluded exactly as in segment_sums
+    first_run = np.searchsorted(bounds[: len(bounds) - 1], offsets[:-1], side="left")
+    nonempty = np.flatnonzero(offsets[1:] > offsets[:-1])
+    if len(nonempty):
+        out[nonempty] = np.maximum.reduceat(run_lens, first_run[nonempty])
     return out
 
 
@@ -211,21 +229,32 @@ _TOK_CACHE_CAP = 1 << 20
 
 
 def hash_tokens(toks: list[str]) -> np.ndarray:
-    """crc32 per token (uint64 array), memoized — deterministic across
-    processes, C-speed.  Shared by the repetition metrics and the
-    perplexity LM so one tokenization+hash pass serves both.
-    (A factorize-then-hash-uniques variant was measured slower once the
-    memo is warm — dict hits beat pd.factorize on repeated vocab.)"""
+    """crc32 per token (uint64 array) — deterministic across processes,
+    C-speed.  Shared by the repetition metrics and the perplexity LM so
+    one tokenization+hash pass serves both.
+
+    Factorize-then-hash-uniques: pd.factorize collapses the batch to its
+    vocabulary (C hash table, one pass), crc32 runs once per UNIQUE
+    token (memoized across batches), and a single fancy-index gather
+    fans the hashes back out.  The per-token Python dict loop this
+    replaced was the #1 kernel hot spot (~30% of compute_metrics)."""
+    n = len(toks)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
     cache = _TOK_CACHE
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    cache_has_room = len(cache) < _TOK_CACHE_CAP
+    for j, t in enumerate(uniques):
         h = cache.get(t)
         if h is None:
             h = zlib.crc32(t.encode("utf-8"))
-            if len(cache) < _TOK_CACHE_CAP:
+            if cache_has_room:
                 cache[t] = h
-        out[i] = h
-    return out
+        uh[j] = h
+    return uh[codes]
 
 
 def flatten_tokens(texts: list[str]) -> tuple[list[str], np.ndarray, np.ndarray]:

@@ -36,6 +36,38 @@ def _ngram_hashes(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarra
     return (h % np.uint64(dim)).astype(np.int64)
 
 
+def _ngram_hashes_flat(
+    texts: list[str], max_chars: int, n: int = NGRAM_N, dim: int = HASH_DIM
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of _ngram_hashes: ONE FNV pass over the concatenated
+    padded docs (per-doc windows never cross a doc boundary because a
+    doc's windows stop n-1 bytes before its end), returning (flat hashed
+    trigram indices, per-doc counts).  Replaces len(texts) small NumPy
+    calls with ~6 large ones — the per-doc variant was a top-3 kernel
+    hot spot."""
+    m = len(texts)
+    padded = [(" " + t[:max_chars].lower() + " ").encode("utf-8") for t in texts]
+    L = np.fromiter((len(p) for p in padded), np.int64, m)
+    counts = np.maximum(L - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), counts
+    buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.full(len(buf) - n + 1, _BASIS, dtype=np.uint64)
+        for k in range(n):
+            h = (h ^ buf[k : len(buf) - n + 1 + k].astype(np.uint64)) * _PRIME
+    doc_starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(L[:-1], out=doc_starts[1:])
+    out_starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(counts[:-1], out=out_starts[1:])
+    # flat positions: for each doc, doc_start + [0..count)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts) + np.repeat(
+        doc_starts, counts
+    )
+    return (h[pos] % np.uint64(dim)).astype(np.int64), counts
+
+
 def _profile(texts: list[str], dim: int = HASH_DIM) -> np.ndarray:
     counts = np.ones(dim, dtype=np.float64)  # add-one smoothing
     for t in texts:
@@ -69,14 +101,12 @@ class LangIdModel:
         conf = np.zeros(n, dtype=np.float64)
         if n == 0:
             return preds, conf
-        idx_list = [_ngram_hashes(t[:max_chars]) for t in texts]
-        lengths = np.fromiter((len(ix) for ix in idx_list), np.int64, n)
+        flat, lengths = _ngram_hashes_flat(texts, max_chars)
         nonempty = lengths > 0
         if not nonempty.any():
             return preds, conf
         from sequali_spark.functions.kernels import segment_sums
 
-        flat = np.concatenate([ix for ix in idx_list if len(ix)])
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         scores = np.empty((len(self.langs), n), dtype=np.float64)
