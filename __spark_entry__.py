@@ -499,10 +499,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT shingle, name, tier,
                      row_number() OVER (PARTITION BY shingle ORDER BY tier, name) AS rn
               FROM tiers
+            ), scored AS (
+              SELECT s.shingle, s.name, s.tier,
+                     CAST(floor(10000.0 * sum(CASE WHEN contains(bo.content, substr(s.shingle, g.i, 4)) THEN 1 ELSE 0 END)
+                                / greatest(length(s.shingle) - 3, 1)) AS BIGINT) AS match_score_bps
+              FROM (SELECT * FROM best WHERE rn = 1) s
+              JOIN boiler bo ON bo.name = s.name,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(length(s.shingle) - 3, 1))) AS i) g
+              GROUP BY s.shingle, s.name, s.tier
             )
             SELECT o.shingle, o.cnt, b.name AS best_match,
-                   CAST(b.tier AS BIGINT) AS match_tier
-            FROM overrep o LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                   CAST(b.tier AS BIGINT) AS match_tier, b.match_score_bps
+            FROM overrep o LEFT JOIN scored b
               ON o.shingle = b.shingle
             ORDER BY o.cnt DESC, o.shingle
         """,

@@ -130,9 +130,29 @@ def identify_overrepresented(
         .filter(F.col("rn") == 1)
         .select("shingle", F.col("name").alias("best_match"), "tier")
     )
+    # identity-scoring tier (the Smith-Waterman-identity analogue,
+    # reference _seqidentmodule.c:20-370 ranks candidates by alignment
+    # identity after the k-mer screen): fraction of the shingle's
+    # overlapping 4-grams contained in the matched boilerplate, in bps —
+    # cheap, deterministic, and ANSI-SQL-expressible on both engines
+    n_grams = F.greatest(F.length("shingle") - 3, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.col("shingle").substr(i, F.lit(4))
+    )
+    contained = F.size(F.filter(grams, lambda g: F.col("content").contains(g)))
+    score = F.floor(F.lit(10000) * contained / n_grams).cast("long")
+    scored = best.join(
+        F.broadcast(boilerplate), best.best_match == boilerplate.name
+    ).select("shingle", "best_match", "tier", score.alias("match_score_bps"))
     return (
-        overrep.join(best, "shingle", "left")
-        .select("shingle", "count", "best_match", F.col("tier").alias("match_tier"))
+        overrep.join(scored, "shingle", "left")
+        .select(
+            "shingle",
+            "count",
+            "best_match",
+            F.col("tier").alias("match_tier"),
+            "match_score_bps",
+        )
         .orderBy(F.desc("count"), "shingle")
     )
 
@@ -165,6 +185,7 @@ def boilerplate_id_query(spark, sf_dir: str) -> DataFrame:
         F.col("count").alias("cnt"),
         "best_match",
         F.col("match_tier").cast("long").alias("match_tier"),
+        "match_score_bps",
     ).orderBy(F.desc("cnt"), "shingle")
 
 
