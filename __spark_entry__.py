@@ -182,6 +182,24 @@ def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_batches, schema="doc_id long, compression_bps long").orderBy("doc_id")
 
 
+def _media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.sources.multimodal import media_kind_stats
+
+    return media_kind_stats(spark, sf_dir)
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.sources.multimodal import media_frame_sample_query
+
+    return media_frame_sample_query(spark, sf_dir)
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequali_spark.sources.multimodal import media_features_query
+
+    return media_features_query(spark, sf_dir)
+
+
 def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.operators.aggregates import boilerplate_id_query
 
@@ -254,6 +272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_perplexity": _doc_perplexity,
         "doc_compression_ratio": _doc_compression_ratio,
+        # --- multimodal columns (binary payloads + typed metadata) ---
+        "media_kind_stats": _media_kind_stats,
+        "media_frame_sample": _media_frame_sample,
+        "media_features": _media_features,
     }
 
 
@@ -513,6 +535,31 @@ def oracle_sql() -> dict[str, str]:
             FROM overrep o LEFT JOIN scored b
               ON o.shingle = b.shingle
             ORDER BY o.cnt DESC, o.shingle
+        """,
+        "media_kind_stats": """
+            WITH media AS (
+              SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     text, (n_chars % 5000) + 500 AS duration_ms
+              FROM documents
+            )
+            SELECT kind, count(*) AS n_media,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   count(DISTINCT md5(text)) AS distinct_payloads,
+                   CAST(max(duration_ms) AS INTEGER) AS max_duration_ms
+            FROM media GROUP BY kind ORDER BY kind
+        """,
+        "media_frame_sample": """
+            WITH media AS (
+              SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     doc_id % 3 AS k, (n_chars % 5000) + 500 AS duration_ms
+              FROM documents
+            )
+            SELECT media_id, CAST(g.i AS BIGINT) AS frame_idx,
+                   CAST(g.i * 1000 AS BIGINT) AS frame_ts_ms
+            FROM media,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(greatest(ceil(duration_ms / 1000.0), 1) AS BIGINT) - 1)) AS i) g
+            WHERE k = 2
+            ORDER BY media_id, frame_idx
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

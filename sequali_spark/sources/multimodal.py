@@ -97,6 +97,79 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministically lift the driver's documents table into the
+    canonical media shape (media_id, kind, payload, meta) so the
+    multimodal plumbing runs on driver-provided data: payload = utf-8
+    bytes of the text (an opaque blob as far as this module is
+    concerned), kind cycles image/audio/video, metadata derived from
+    n_chars — all pure functions, so oracle SQL can reproduce them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            ((F.col("n_chars") % 5000) + 500).cast("int").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def media_kind_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-kind payload stats incl. distinct-payload count (the cheap
+    digest tier of media dedup) — oracle-checked."""
+    m = media_from_documents(spark, sf_dir)
+    return (
+        m.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.countDistinct(F.md5("payload")).alias("distinct_payloads"),
+            F.max(F.col("meta.duration_ms")).alias("max_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+def media_frame_sample_query(spark, sf_dir: str, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan over the video slice — oracle-checked: the
+    explode/partition shape is the real production plan; only the pixel
+    decode is the stub."""
+    m = media_from_documents(spark, sf_dir)
+    return (
+        frame_sample(m, every_ms=every_ms)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def media_features_query(spark, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over the media table (rows-only: the
+    feature kernel is the documented Python stub)."""
+    m = media_from_documents(spark, sf_dir)
+    feats = decode_features(m)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        F.floor(F.lit(10000) * F.aggregate("features", F.lit(0.0), lambda a, v: a + v))
+        .cast("long")
+        .alias("feature_mass_bps"),
+    ).orderBy("media_id")
+
+
 def media_dedup_candidates(features: DataFrame, sim_threshold: float = 0.99) -> DataFrame:
     """Exact-payload dedup by digest (the cheap tier before any
     embedding similarity): groupBy digest, like text exact-dedup."""
