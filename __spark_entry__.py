@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_unshipped": relational.top_unshipped_orders,
         "rel_order_priority": relational.order_priority_counts,
+        "rel_customers_no_orders": relational.customers_without_orders,
         "rel_pricing_rollup": relational.pricing_rollup,
         "rel_value_band_join": relational.value_band_join,
         # --- the flagship pipeline + model scorers (non-SQL; rows-only) ---
@@ -754,5 +755,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
             )
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "rel_customers_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
     }

@@ -236,6 +236,43 @@ def _ivf_assign_udf(centroids: np.ndarray):
     return _assign
 
 
+def kmeans_centroids(
+    e: DataFrame, n_centroids: int = 16, n_iter: int = 2, dim: int = EMB_DIM
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations for the IVF coarse
+    quantizer: init = first ``n_centroids`` vectors (seedless, ordered
+    by id), then each round assigns every vector to its max-cosine
+    centroid (Arrow batch kernel) and recomputes means via
+    posexplode -> groupBy(centroid, dim) — the shuffle carries
+    n_centroids*dim aggregates, and the driver only ever collects the
+    n_centroids x dim mean matrix (bounded, never the data).  Empty
+    clusters keep their previous centroid."""
+    init_rows = (
+        e.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    for _ in range(n_iter):
+        assigned = e.select("vec_id", "embedding").mapInPandas(
+            _ivf_assign_udf(centroids), schema="vec_id long, centroid long"
+        )
+        means = (
+            e.join(assigned, "vec_id")
+            .select("centroid", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("centroid", "dim")
+            .agg(F.avg("x").alias("mean_x"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        seen = set()
+        for r in means:
+            new_c[r["centroid"], r["dim"]] = r["mean_x"]
+            seen.add(r["centroid"])
+        norms = np.linalg.norm(new_c, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new_c / norms  # cosine quantizer: unit centroids
+    return centroids
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -243,23 +280,21 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iter: int = 2,
 ) -> DataFrame:
     """IVF-flat ANN: coarse quantization by nearest centroid, probe the
     ``n_probe`` closest inverted lists per query, exact re-rank inside.
 
-    Centroids are a deterministic sample of the corpus (first
-    ``n_centroids`` vectors) — one Lloyd step away from k-means, kept
-    seedless-deterministic for reproducibility.  Structural guarantee
-    used by the tests: ``n_probe == n_centroids`` degrades to exactly
-    the brute-force result.  At scale the inverted lists are the
-    partitioning: `repartition(centroid)` co-locates each list, queries
-    broadcast, and only probed lists are scanned.
+    Centroids come from deterministic distributed Lloyd iterations
+    (kmeans_centroids) — seedless-deterministic for reproducibility.
+    Structural guarantee used by the tests: ``n_probe == n_centroids``
+    degrades to exactly the brute-force result (independent of centroid
+    quality).  At scale the inverted lists are the partitioning:
+    `repartition(centroid)` co-locates each list, queries broadcast,
+    and only probed lists are scanned.
     """
     e = load(spark, sf_dir, "embeddings")
-    centroid_rows = (
-        e.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select("embedding").collect()
-    )
-    centroids = np.array([r["embedding"] for r in centroid_rows], dtype=np.float64)
+    centroids = kmeans_centroids(e, n_centroids=n_centroids, n_iter=n_iter)
 
     assigned = e.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_udf(centroids), schema="vec_id long, centroid long"

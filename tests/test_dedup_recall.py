@@ -286,3 +286,30 @@ def test_multiprobe_beats_single_probe(spark, clustered_embeddings):
         clustered_embeddings, n_queries=10, k=5, n_planes=8, hamming_probes=2
     ).count()
     assert multi > single
+
+
+def test_kmeans_centroids_improve_quantization(spark, clustered_embeddings):
+    """On clustered data, Lloyd iterations must land one centroid per
+    cluster (or close): mean max-cosine to the nearest centroid rises
+    vs the iteration-0 'first N vectors' quantizer."""
+    import numpy as np
+    from sequali_spark.operators import similarity
+
+    emb = np.array(
+        [r["embedding"] for r in clustered_embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+
+    def mean_best_sim(centroids):
+        return float((emb @ centroids.T).max(axis=1).mean())
+
+    c0 = similarity.kmeans_centroids(clustered_embeddings, n_centroids=10, n_iter=0)
+    c2 = similarity.kmeans_centroids(clustered_embeddings, n_centroids=10, n_iter=2)
+    # the fixture assigns vec i to cluster i%10, so the first-10 init is
+    # already one-per-cluster; Lloyd still strictly improves it and must
+    # land essentially on the cluster means
+    assert mean_best_sim(c2) > mean_best_sim(c0)
+    assert mean_best_sim(c2) > 0.94
+    # determinism: same call, same result
+    c2b = similarity.kmeans_centroids(clustered_embeddings, n_centroids=10, n_iter=2)
+    assert np.array_equal(c2, c2b)
