@@ -120,3 +120,37 @@ def test_media_exact_dedup(spark, media_df):
     keepers = sorted(r["keeper"] for r in dups)
     assert keepers == ["m0", "m2"]
     assert all(r["n_copies"] == 2 for r in dups)
+
+
+def test_multiprobe_lsh_broadcasts_probe_side(spark, sf_dir):
+    """The probe set (queries x probe buckets) must be the broadcast
+    side of the candidate join — the corpus side streams."""
+    from sequali_spark.operators import similarity
+    from sequali_spark.plans import checks
+
+    df = similarity.lsh_bucketed_topk(spark, sf_dir, n_queries=5, k=5)
+    assert checks.has_broadcast_join(df)
+
+
+def test_anti_join_shape(spark, sf_dir):
+    from sequali_spark.operators import relational
+    from sequali_spark.plans import checks
+
+    df = relational.customers_without_orders(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_flagship_mapinpandas_output_is_pruned(spark, sf_dir):
+    """The 5-column output contract must appear on the MapInPandas node
+    itself (Catalyst cannot prune through the Python black box, so this
+    is the manual-pushdown regression guard)."""
+    import __spark_entry__ as entry
+    from sequali_spark.plans import checks
+
+    df = entry.queries()["pages_quality_labels"](spark, sf_dir)
+    plan = checks.physical_plan(df)
+    seg = plan.split("MapInPandas", 1)[1].split("\n", 1)[0]
+    for col in ("url", "lang_pred", "keep", "pii_hits", "tox_hits"):
+        assert col in seg
+    assert "scrubbed_text" not in seg and "shingles" not in seg
