@@ -140,6 +140,7 @@ def minhash_pairs_for(
     text_col: str = "text",
     threshold: float = 0.7,
     max_bucket: int = 256,
+    keeper_ids: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + signature-similarity verify,
     over any (id, text) DataFrame.
@@ -160,7 +161,15 @@ def minhash_pairs_for(
     pairs are recovered transitively through connected components.
     """
     _release_prior_cache("minhash")
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    if keeper_ids is not None:
+        # restrict to exact-dedup representatives by joining keeper ids
+        # against the fixed-width signatures (~0.6 KB/doc) — the text
+        # column itself never shuffles (signatures for duplicates are
+        # wasted map CPU, which is far cheaper than a corpus-wide text
+        # exchange at 100 TB)
+        sigs = sigs.join(keeper_ids.select(id_col), id_col)
+    sigs = sigs.persist()
     _CACHED["minhash"] = sigs
     bands = sigs.select(
         id_col,
@@ -206,17 +215,25 @@ def minhash_pairs_for(
     )
 
 
-def exact_dedup_representatives(
+def exact_dedup_rep_ids(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, text, rep) where rep = min id among exact-identical texts.
-    One window shuffle on the content digest.  Running near-dup LSH on
-    the representatives only (filter id == rep) is the scale-safe
-    composition: a cluster of D byte-identical docs otherwise lands all
-    D ids in the same band bucket of every band -> D^2 candidates."""
-    wd = W.partitionBy(F.md5(text_col))
-    return docs.select(
-        id_col, text_col, F.min(id_col).over(wd).alias("rep")
+    """(id, rep) where rep = min id among exact-identical texts, built
+    from a digest-only projection: the one shuffle carries (digest, id)
+    pairs (~48 B/doc) — NEVER the text column.  Running near-dup LSH on
+    the representatives only (id == rep) is the scale-safe composition:
+    a cluster of D byte-identical docs otherwise lands all D ids in the
+    same band bucket of every band -> D^2 candidates.
+
+    Downstream, representatives are selected by joining keeper ids
+    against already-computed fixed-width sketches (signatures /
+    simhashes), so the text column never crosses the network: minhashing
+    a duplicate is wasted map-side CPU, but re-shuffling a 100 TB text
+    column is the actual cluster bill."""
+    wd = W.partitionBy("digest")
+    return (
+        docs.select(F.col(id_col), F.md5(text_col).alias("digest"))
+        .select(id_col, F.min(id_col).over(wd).alias("rep"))
     )
 
 
@@ -230,10 +247,10 @@ def minhash_near_dup_pairs(
     representatives; exact-dup membership comes from exact_dup_groups /
     dedup_keepers."""
     docs = load(spark, sf_dir, "documents")
-    reps = exact_dedup_representatives(docs).filter(
-        F.col("doc_id") == F.col("rep")
-    ).select("doc_id", "text")
-    return minhash_pairs_for(reps, threshold=threshold)
+    keeper_ids = (
+        exact_dedup_rep_ids(docs).filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    )
+    return minhash_pairs_for(docs, threshold=threshold, keeper_ids=keeper_ids)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -276,9 +293,9 @@ def simhash_near_dup_pairs(
       (_qcmodule.c:3429-3431, 4248-4253).
     """
     d = load(spark, sf_dir, "documents")
-    reps = exact_dedup_representatives(d).filter(
-        F.col("doc_id") == F.col("rep")
-    ).select("doc_id", "text")
+    keeper_ids = (
+        exact_dedup_rep_ids(d).filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    )
     schema = "doc_id long, simhash long"
 
     def _batches(it):
@@ -293,8 +310,13 @@ def simhash_near_dup_pairs(
             )
 
     _release_prior_cache("simhash")
+    # simhash for ALL docs map-side, then restrict to representatives by
+    # joining keeper ids against the 16 B/doc fingerprints — the text
+    # column never shuffles
     fps = (
-        reps.mapInPandas(_batches, schema=schema)
+        d.select("doc_id", "text")
+        .mapInPandas(_batches, schema=schema)
+        .join(keeper_ids, "doc_id")
         .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
         .persist()
     )
@@ -472,9 +494,11 @@ def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     byte-identical docs cost one groupBy here instead of D^2 LSH
     candidates (VERDICT r1 scale-killer #4)."""
     docs = load(spark, sf_dir, "documents")
-    rep_map = exact_dedup_representatives(docs)
-    reps = rep_map.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
-    pairs = minhash_pairs_for(reps, threshold=threshold).select("doc_a", "doc_b")
+    rep_map = exact_dedup_rep_ids(docs)
+    keeper_ids = rep_map.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    pairs = minhash_pairs_for(docs, threshold=threshold, keeper_ids=keeper_ids).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("rep_id"), "component"
     )
