@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events.asof_last_click_before_error,
         "events_props_json": events.props_json_stats,
         "events_gap_stats": events.inter_event_gap_stats,
+        "events_funnel": events.funnel_conversion,
+        "events_retention": events.retention_cohorts,
         # --- similarity search over embeddings ---
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
@@ -670,6 +672,36 @@ def oracle_sql() -> dict[str, str]:
                    max(gap_s) AS max_gap_s
             FROM g WHERE gap_s IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "events_funnel": """
+            WITH signups AS (
+              SELECT user_id, min(ts) AS first_signup
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), conv AS (
+              SELECT s.user_id, s.first_signup, min(p.ts) AS first_purchase
+              FROM signups s
+              LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                ON p.user_id = s.user_id AND p.ts >= s.first_signup
+              GROUP BY s.user_id, s.first_signup
+            )
+            SELECT user_id, first_signup, first_purchase,
+                   first_purchase IS NOT NULL AS converted,
+                   CAST(date_diff('second', first_signup, first_purchase) AS BIGINT) AS secs_to_convert
+            FROM conv ORDER BY user_id
+        """,
+        "events_retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+            ), first_day AS (
+              SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+            ), joined AS (
+              SELECT a.user_id, CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+                     CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset
+              FROM activity a JOIN first_day f ON a.user_id = f.user_id
+            )
+            SELECT cohort_day, day_offset, count(DISTINCT user_id) AS active_users
+            FROM joined WHERE day_offset <= 7
+            GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
         """,
         "emb_norms": """
             SELECT vec_id, label,

@@ -171,6 +171,61 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase funnel: per signed-up user, the first purchase
+    at-or-after the first signup, conversion flag and latency — the
+    event-sequence join shape (first-match semantics, A6's
+    first-occurrence spirit on the time axis)."""
+    e = load(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("first_signup")),
+            "left",
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return conv.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")
+        ).alias("secs_to_convert"),
+    ).orderBy("user_id")
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str, max_offset: int = 7) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users at each day offset — the standard engagement rollup
+    (one distinct-projection, one shuffle on user, one small groupBy)."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    activity = e.select("user_id", day.alias("day")).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(first_day, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.to_date("day"), F.to_date("cohort_day")).cast("long").alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics (lead/lag window over the
     event stream): events, mean/max gap seconds — the arrival-cadence
