@@ -109,13 +109,18 @@ def _minhash_signature(text: str) -> np.ndarray:
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, signature array<long>, bands array<long>) via one Arrow stage."""
+    """(id, digest, signature array<long>, bands array<long>) via one
+    Arrow stage — the exact-dup digest rides along so rep selection
+    never needs a second pass over (or shuffle of) the text."""
+    import hashlib as _hl
+
     id_type = dict(docs.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, signature array<long>, bands array<long>"
+    schema = f"{id_col} {id_type}, digest string, signature array<long>, bands array<long>"
 
     def _batches(it):
         for pdf in it:
-            sigs = [_minhash_signature(t or "") for t in pdf[text_col]]
+            texts = [(t or "") for t in pdf[text_col]]
+            sigs = [_minhash_signature(t) for t in texts]
             rows_per_band = N_MINHASH // LSH_BANDS
             bands = []
             for s in sigs:
@@ -128,10 +133,31 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                     bl.append(h)
                 bands.append(bl)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "signature": sigs, "bands": bands}
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "digest": [_hl.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    "signature": sigs,
+                    "bands": bands,
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+
+
+def exact_rep_labeled_sigs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Signature frame with exact-dedup labels: (id, rep, digest,
+    signature, bands) where rep = min id among byte-identical texts.
+
+    The digest is computed in the same Arrow pass as the sketches, so
+    rep selection is ONE window over the fixed-width sketch frame
+    (~0.6 KB/doc on the wire) — the text column never shuffles:
+    sketching a duplicate is wasted map-side CPU, far cheaper than a
+    corpus-wide text exchange at 100 TB."""
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    wd = W.partitionBy("digest")
+    return sigs.withColumn("rep", F.min(id_col).over(wd))
 
 
 def minhash_pairs_for(
@@ -140,7 +166,7 @@ def minhash_pairs_for(
     text_col: str = "text",
     threshold: float = 0.7,
     max_bucket: int = 256,
-    keeper_ids: DataFrame | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + signature-similarity verify,
     over any (id, text) DataFrame.
@@ -155,21 +181,32 @@ def minhash_pairs_for(
     boilerplate docs) would emit 5*10^11 rows from a single key at
     corpus scale.  Buckets above the cap are dropped BEFORE the
     self-join (the reference bounds every table the same way:
-    _qcmodule.c:3429-3431, 4248-4253).  Callers should collapse exact
-    duplicates to one representative first (see minhash_near_dup_pairs)
-    so the cap only ever trims pathological near-dup clusters, whose
-    pairs are recovered transitively through connected components.
+    _qcmodule.c:3429-3431, 4248-4253).  ``collapse_exact`` runs LSH on
+    exact-dedup representatives only (see exact_rep_labeled_sigs) so the
+    cap only ever trims pathological near-dup clusters, whose pairs are
+    recovered transitively through connected components.
     """
+    if collapse_exact:
+        sigs = (
+            exact_rep_labeled_sigs(docs, id_col=id_col, text_col=text_col)
+            .filter(F.col(id_col) == F.col("rep"))
+            .drop("rep")
+        )
+    else:
+        sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    return minhash_pairs_from_sigs(sigs, id_col=id_col, threshold=threshold, max_bucket=max_bucket)
+
+
+def minhash_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Band bucket-join + signature verify over a prepared signature
+    frame (see minhash_pairs_for for the plan rationale)."""
     _release_prior_cache("minhash")
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    if keeper_ids is not None:
-        # restrict to exact-dedup representatives by joining keeper ids
-        # against the fixed-width signatures (~0.6 KB/doc) — the text
-        # column itself never shuffles (signatures for duplicates are
-        # wasted map CPU, which is far cheaper than a corpus-wide text
-        # exchange at 100 TB)
-        sigs = sigs.join(keeper_ids.select(id_col), id_col)
-    sigs = sigs.persist()
+    sigs = sigs.select(id_col, "signature", "bands").persist()
     _CACHED["minhash"] = sigs
     bands = sigs.select(
         id_col,
@@ -215,28 +252,6 @@ def minhash_pairs_for(
     )
 
 
-def exact_dedup_rep_ids(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, rep) where rep = min id among exact-identical texts, built
-    from a digest-only projection: the one shuffle carries (digest, id)
-    pairs (~48 B/doc) — NEVER the text column.  Running near-dup LSH on
-    the representatives only (id == rep) is the scale-safe composition:
-    a cluster of D byte-identical docs otherwise lands all D ids in the
-    same band bucket of every band -> D^2 candidates.
-
-    Downstream, representatives are selected by joining keeper ids
-    against already-computed fixed-width sketches (signatures /
-    simhashes), so the text column never crosses the network: minhashing
-    a duplicate is wasted map-side CPU, but re-shuffling a 100 TB text
-    column is the actual cluster bill."""
-    wd = W.partitionBy("digest")
-    return (
-        docs.select(F.col(id_col), F.md5(text_col).alias("digest"))
-        .select(id_col, F.min(id_col).over(wd).alias("rep"))
-    )
-
-
 def minhash_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.7
 ) -> DataFrame:
@@ -247,10 +262,7 @@ def minhash_near_dup_pairs(
     representatives; exact-dup membership comes from exact_dup_groups /
     dedup_keepers."""
     docs = load(spark, sf_dir, "documents")
-    keeper_ids = (
-        exact_dedup_rep_ids(docs).filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    )
-    return minhash_pairs_for(docs, threshold=threshold, keeper_ids=keeper_ids)
+    return minhash_pairs_for(docs, threshold=threshold, collapse_exact=True)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -292,31 +304,35 @@ def simhash_near_dup_pairs(
       bounded tables, the reference's own discipline
       (_qcmodule.c:3429-3431, 4248-4253).
     """
+    import hashlib as _hl
+
     d = load(spark, sf_dir, "documents")
-    keeper_ids = (
-        exact_dedup_rep_ids(d).filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    )
-    schema = "doc_id long, simhash long"
+    schema = "doc_id long, digest string, simhash long"
 
     def _batches(it):
         for pdf in it:
             if not len(pdf):
                 continue
+            texts = [(t or "") for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "simhash": [_simhash(t or "") for t in pdf["text"]],
+                    "digest": [_hl.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    "simhash": [_simhash(t) for t in texts],
                 }
             )
 
     _release_prior_cache("simhash")
-    # simhash for ALL docs map-side, then restrict to representatives by
-    # joining keeper ids against the 16 B/doc fingerprints — the text
-    # column never shuffles
+    # simhash + exact-dup digest in one map-side pass; rep selection is a
+    # window over the ~50 B/doc fingerprint frame — the text column never
+    # shuffles
+    wd = W.partitionBy("digest")
     fps = (
         d.select("doc_id", "text")
         .mapInPandas(_batches, schema=schema)
-        .join(keeper_ids, "doc_id")
+        .withColumn("rep", F.min("doc_id").over(wd))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "simhash")
         .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
         .persist()
     )
@@ -494,24 +510,25 @@ def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     byte-identical docs cost one groupBy here instead of D^2 LSH
     candidates (VERDICT r1 scale-killer #4)."""
     docs = load(spark, sf_dir, "documents")
-    rep_map = exact_dedup_rep_ids(docs)
-    keeper_ids = rep_map.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    pairs = minhash_pairs_for(docs, threshold=threshold, keeper_ids=keeper_ids).select(
-        "doc_a", "doc_b"
-    )
+    _release_prior_cache("keepers")
+    labeled = exact_rep_labeled_sigs(docs).persist()
+    _CACHED["keepers"] = labeled
+    rep_map = labeled.select("doc_id", "rep")
+    rep_sigs = labeled.filter(F.col("doc_id") == F.col("rep"))
+    pairs = minhash_pairs_from_sigs(rep_sigs, threshold=threshold).select("doc_a", "doc_b")
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("rep_id"), "component"
     )
     # every doc's component: its representative's near-dup component if
     # the rep is in one, else the rep itself
-    labeled = (
+    assigned = (
         rep_map.select("doc_id", "rep")
         .join(comp, F.col("rep") == F.col("rep_id"), "left")
         .select("doc_id", F.coalesce("component", "rep").alias("component"))
     )
     cluster_w = W.partitionBy("component")
     return (
-        labeled.withColumn("_n", F.count("*").over(cluster_w))
+        assigned.withColumn("_n", F.count("*").over(cluster_w))
         .filter(F.col("_n") >= 2)  # only docs actually in a dup cluster
         .select(
             "doc_id",
