@@ -267,19 +267,21 @@ def minhash_near_dup_pairs(
 
 # --- SimHash ----------------------------------------------------------------
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
 def _simhash(text: str, bits: int = 64) -> int:
     sh = _shingle_hashes(text)
-    if len(sh) == 0:
+    n = len(sh)
+    if n == 0:
         return 0
-    acc = np.zeros(bits, dtype=np.int64)
-    for bit in range(bits):
-        mask = np.uint64(1) << np.uint64(bit)
-        ones = int(((sh & mask) != 0).sum())
-        acc[bit] = ones - (len(sh) - ones)
+    # vectorized bit vote: ones[b] = count of shingles with bit b set;
+    # bit b of the simhash = majority(ones[b] > n/2)
+    ones = ((sh[:, None] >> _BIT_IDX[None, :bits]) & np.uint64(1)).sum(axis=0)
+    maj = ones * 2 > n  # acc = ones - (n - ones) > 0  <=>  2*ones > n
     out = 0
-    for bit in range(bits):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.flatnonzero(maj):
+        out |= 1 << int(bit)
     return out & 0x7FFFFFFFFFFFFFFF
 
 
