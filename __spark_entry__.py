@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count_bpeish": textqc.token_count_bpeish,
         "doc_type_token_ratio": textqc.type_token_ratio,
         "doc_n50_report": textqc.n50_report,
+        "doc_winnow_sql": textqc.winnow_fingerprint_stats,
         "doc_boilerplate_id": _boilerplate_id,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
@@ -500,6 +501,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(CASE WHEN cum * 2 >= total THEN n_chars END) AS n50_chars,
                    min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS n90_chars
             FROM m
+        """,
+        "doc_winnow_sql": """
+            WITH grams AS (
+              SELECT d.doc_id, g.i AS pos,
+                     substr(md5(substr(d.text, g.i, 8)), 1, 8) AS gram_hash
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(1, length(d.text) - 7)) AS i) g
+              WHERE d.doc_id < 100 AND length(d.text) >= 8
+            ), fps AS (
+              SELECT doc_id, pos,
+                     min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS n_grams
+              FROM grams
+            )
+            SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
+                   min(fp) AS min_fp, max(fp) AS max_fp
+            FROM fps WHERE pos <= n_grams - 3
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_boilerplate_id": """
             WITH overrep AS (

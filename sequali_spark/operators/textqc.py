@@ -433,6 +433,59 @@ def n50_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_stats(
+    spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4, max_doc_id: int = 100
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03) re-expressed as PURE
+    relational operators — tier (a) of the custom-operator ladder: no
+    UDF at all.  k-gram hash = md5 prefix (cross-engine), fingerprint =
+    min hash of each window of w consecutive k-grams (window min over an
+    ordered frame), per-doc distinct fingerprints counted.
+
+    This is the declarative twin of the kernel-based
+    dedup.winnow_overlap_pairs (which uses a faster rolling hash); the
+    oracle checks the relational form value-exactly.  Bounded to
+    ``max_doc_id`` docs because the position explode is O(len) rows per
+    doc — the kernel path is the scale path, this is the semantics spec.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc_id)
+    n_grams = F.length("text") - (k - 1)
+    grams = (
+        d.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.substring(F.md5(F.col("text").substr(i, F.lit(k))), 1, 8),
+                )
+            ).alias("pos", "gram_hash"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    total = W.partitionBy("doc_id")
+    fps = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("gram_hash").over(win).alias("fp"),
+            F.count("*").over(total).alias("n_grams"),
+        )
+        # winnowing uses FULL windows only: the last w-1 frames are
+        # partial (pos is 0-based from posexplode, hence - w not - (w-1))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive
