@@ -85,6 +85,13 @@ def main() -> None:
             "overrepresented": [
                 r.asDict() for r in agg.overrepresented_shingles(metrics).collect()
             ],
+            # length statistics block — the reference report's
+            # SequenceLengthDistribution analogue (exact N50/N90 by
+            # cumulative walk, report_modules.py:574-636)
+            "length_stats": agg.n50_analogue(metrics).first().asDict(),
+            "per_host": [
+                r.asDict() for r in agg.per_host_report(metrics).limit(20).collect()
+            ],
         }
         with open(args.report, "w") as f:
             json.dump(report, f, indent=0, sort_keys=True)
