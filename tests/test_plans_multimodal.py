@@ -154,3 +154,26 @@ def test_flagship_mapinpandas_output_is_pruned(spark, sf_dir):
     for col in ("url", "lang_pred", "keep", "pii_hits", "tox_hits"):
         assert col in seg
     assert "scrubbed_text" not in seg and "shingles" not in seg
+
+
+def test_no_query_has_cartesian_or_rowwise_python(spark, sf_dir):
+    """Sweep EVERY driver query's physical plan: no CartesianProduct and
+    no row-at-a-time Python eval anywhere in the surface (the two
+    plan shapes that do not survive a 100x scale-up).
+    BroadcastNestedLoopJoin is allowed only where a tiny broadcast side
+    makes it the intended theta-join strategy."""
+    import __spark_entry__ as entry
+    from sequali_spark.plans import checks
+
+    allowed_bnlj = {
+        "rel_value_band_join",   # 3-row band table, intentional theta join
+        "emb_brute_force_topk",  # query side broadcast, corpus streams
+        "emb_knn_label_vote",    # built on brute_force_topk
+        "doc_boilerplate_id",    # 3-row boilerplate DB, contains() theta join (J2)
+    }
+    for name, fn in entry.queries().items():
+        plan = checks.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # row-wise Python UDF
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
