@@ -73,3 +73,65 @@ def test_shingles_within_anchors(payload):
     for sh in kernels.doc_shingles(payload):
         assert len(sh) == kernels.SHINGLE_K
         assert sh in payload  # every shingle is a real substring
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_max_run_matches_naive(ts):
+    """Exact equivalence of the batched run-length kernel against the
+    obvious per-doc implementation (the r2 rewrite's safety net)."""
+    raw = [t.encode("utf-8") for t in ts]
+    got = kernels.max_char_run(raw)
+    for i, b in enumerate(raw):
+        best = cur = 0
+        prev = None
+        for byte in b:
+            cur = cur + 1 if byte == prev else 1
+            prev = byte
+            best = max(best, cur)
+        assert got[i] == best
+
+
+@given(st.lists(st.text(max_size=30), min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_hash_tokens_matches_crc32(toks):
+    import zlib
+    import numpy as np
+
+    got = kernels.hash_tokens(toks)
+    exp = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    assert got.shape == exp.shape and (got == exp).all()
+
+
+@given(texts)
+@settings(max_examples=30, deadline=None)
+def test_langid_batch_hashing_matches_per_doc(ts):
+    from sequali_spark.functions.langid import _ngram_hashes, _ngram_hashes_flat
+
+    flat, counts = _ngram_hashes_flat(ts, max_chars=400)
+    off = 0
+    for t, c in zip(ts, counts):
+        per = _ngram_hashes(t[:400])
+        assert len(per) == c
+        assert (flat[off : off + c] == per).all()
+        off += c
+
+
+@given(texts)
+@settings(max_examples=30, deadline=None)
+def test_simhash_majority_definition(ts):
+    """Vectorized simhash == the bit-majority definition computed naively."""
+    from sequali_spark.operators.dedup import _simhash, _shingle_hashes
+
+    for t in ts:
+        sh = _shingle_hashes(t)
+        got = _simhash(t)
+        if len(sh) == 0:
+            assert got == 0
+            continue
+        exp = 0
+        for bit in range(64):
+            ones = sum(1 for h in sh if (int(h) >> bit) & 1)
+            if 2 * ones > len(sh):
+                exp |= 1 << bit
+        assert got == exp & 0x7FFFFFFFFFFFFFFF
