@@ -79,13 +79,20 @@ METRIC_SCHEMA_DDL = (
 )
 
 
-def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.DataFrame:
     """Batch of pages (url, warc_ts, html, text, lang) -> metric frame.
 
     Vectorized throughout: char classes via one concatenated-buffer pass
     (kernels.char_class_counts), scrubbing via compiled-regex pandas ops,
     models via NumPy.  No per-row Python in the Spark hot path beyond
     bounded per-doc NumPy loops (the same work sequali does per read).
+
+    ``needed`` (the output projection, when the caller prunes columns)
+    lets the two expensive columns that feed NO keep/drop rule —
+    ``compression_ratio`` (zlib) and ``shingles`` (sampled k-gram
+    extraction) — be skipped entirely: computation pruning to match the
+    Arrow-boundary projection pruning.  None (the oracle/default path)
+    computes everything.
     """
     n = len(pdf)
     texts = pdf["text"].fillna("").astype(object)
@@ -120,13 +127,20 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
         except UnicodeDecodeError:
             html_utf8[i] = False
 
+    def _want(col: str) -> bool:
+        return needed is None or col in needed
+
     sampled = kernels.url_sample_mask(pdf["url"])
-    shingles: list[list[str]] = [
-        [s.decode("utf-8", "replace") for s in kernels.doc_shingles(raw_bytes[i])]
-        if sampled[i]
-        else []
-        for i in range(n)
-    ]
+    shingles: list[list[str]] = (
+        [
+            [s.decode("utf-8", "replace") for s in kernels.doc_shingles(raw_bytes[i])]
+            if sampled[i]
+            else []
+            for i in range(n)
+        ]
+        if _want("shingles")
+        else [[] for _ in range(n)]
+    )
 
     out = pd.DataFrame(
         {
@@ -147,7 +161,11 @@ def compute_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
             "max_char_run": run,
             "dup_line_frac": ws["dup_line_frac"].to_numpy(),
             "top_bigram_frac": ws["top_bigram_frac"].to_numpy(),
-            "compression_ratio": kernels.compression_ratios(raw_bytes),
+            "compression_ratio": (
+                kernels.compression_ratios(raw_bytes)
+                if _want("compression_ratio")
+                else np.zeros(n, dtype=np.float64)
+            ),
             "lang_pred": lang_pred,
             "lang_conf": lang_conf,
             "perplexity": ppl,

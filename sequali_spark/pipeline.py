@@ -67,11 +67,15 @@ def run_metric_stage(pages: DataFrame, output_columns: list[str] | None = None) 
             raise ValueError(f"pages table is missing required column '{c}'")
     pruned = pages.select(*sel_cols)
     cols = output_columns
+    needed = set(cols) if cols else None
 
     def _batches(it):
         for pdf in it:
             if len(pdf):
-                m = compute_metrics(pdf)
+                # computation pruning matches projection pruning: metric
+                # columns outside the sink schema that feed no rule
+                # (compression_ratio, shingles) are never computed
+                m = compute_metrics(pdf, needed=needed)
                 yield m[cols] if cols else m
 
     schema = _schema_subset(cols) if cols else METRIC_SCHEMA_DDL
