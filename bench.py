@@ -194,11 +194,15 @@ SCALING_LADDER = (2, 8, 32)
 
 
 def run_scaling(rows: int) -> dict:
-    results = {}
-    for cpus in SCALING_LADDER:
-        best = None
-        for _ in range(2):  # two independent JVMs per config: hypervisor
-            proc = subprocess.run(  # noise spans whole processes too
+    # hypervisor noise on this host has a LONG correlation time (minutes),
+    # so attempts are interleaved round-robin across configs — a noisy
+    # period then degrades every leg equally instead of sinking whichever
+    # config it happened to coincide with (best-of per leg still applies:
+    # noise only ever adds wall time)
+    results: dict[int, dict] = {}
+    for _ in range(3):
+        for cpus in SCALING_LADDER:
+            proc = subprocess.run(
                 [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus), "--rows", str(rows)],
                 capture_output=True,
                 text=True,
@@ -211,9 +215,8 @@ def run_scaling(rows: int) -> dict:
                     + proc.stderr[-3000:]
                 )
             got = json.loads(lines[-1])
-            if best is None or got["docs_per_sec"] > best["docs_per_sec"]:
-                best = got
-        results[cpus] = best
+            if cpus not in results or got["docs_per_sec"] > results[cpus]["docs_per_sec"]:
+                results[cpus] = got
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     summary = {
