@@ -200,6 +200,27 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features_query(spark, sf_dir)
 
 
+def _pages_distinct_urls_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-url count per host via SALTED two-stage
+    aggregation — the skew-safe COUNT(DISTINCT) pattern for Zipf keys
+    driver-checked against the plain one-stage oracle (url -> salt is
+    deterministic, the per-salt sets are disjoint, so the partial-sum is
+    exact by construction)."""
+    pages = _pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    salted = pages.select(
+        host.alias("host"), F.pmod(F.xxhash64("url"), F.lit(16)).alias("salt"), "url"
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.countDistinct("url").alias("partial_distinct")
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("partial_distinct").cast("long").alias("distinct_urls"))
+        .orderBy("host")
+    )
+
+
 def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.operators.aggregates import boilerplate_id_query
 
@@ -255,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_stats": events.inter_event_gap_stats,
         "events_funnel": events.funnel_conversion,
         "events_retention": events.retention_cohorts,
+        "events_value_percentiles": events.value_percentiles_exact,
         # --- similarity search over embeddings ---
         "emb_norms": similarity.embedding_norms,
         "emb_brute_force_topk": similarity.brute_force_topk,
@@ -273,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_quality_labels": _pages_quality_labels,
         "pages_time_window": _pages_time_window,
         "pages_host_report": _pages_host_report,
+        "pages_distinct_urls_salted": _pages_distinct_urls_salted,
         "doc_langid": _doc_langid,
         "doc_perplexity": _doc_perplexity,
         "doc_compression_ratio": _doc_compression_ratio,
@@ -721,6 +744,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT cohort_day, day_offset, count(DISTINCT user_id) AS active_users
             FROM joined WHERE day_offset <= 7
             GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+        """,
+        "events_value_percentiles": """
+            WITH h AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type, cents,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+              FROM h
+            )
+            SELECT event_type,
+                   min(CASE WHEN cum >= ceil(total * 50 / 100) THEN cents END) AS p50_cents,
+                   min(CASE WHEN cum >= ceil(total * 95 / 100) THEN cents END) AS p95_cents,
+                   min(CASE WHEN cum >= ceil(total * 99 / 100) THEN cents END) AS p99_cents
+            FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "pages_distinct_urls_salted": """
+            WITH pages AS (
+              SELECT source || '.example.org' AS host,
+                     'https://' || source || '.example.org/doc-' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT host, count(DISTINCT url) AS distinct_urls
+            FROM pages GROUP BY host ORDER BY host
         """,
         "emb_norms": """
             SELECT vec_id, label,

@@ -226,6 +226,36 @@ def retention_cohorts(spark: SparkSession, sf_dir: str, max_offset: int = 7) -> 
     )
 
 
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value percentiles in integer cents via the
+    histogram-walk (never a sketch — the reference's percentile
+    discipline, report_modules.py:596-619, on a continuous column):
+    bucket to cents -> per-(type, cents) counts -> cumulative walk over
+    the small histogram -> smallest cents value reaching ceil(p% of n)."""
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    hist = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = W.partitionBy("event_type")
+    marks = hist.select(
+        "event_type",
+        "cents",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(total).alias("total"),
+    )
+    agg_cols = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * p / 100), F.col("cents"))
+        ).alias(f"p{p}_cents")
+        for p in (50, 95, 99)
+    ]
+    return marks.groupBy("event_type").agg(*agg_cols).orderBy("event_type")
+
+
 def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics (lead/lag window over the
     event stream): events, mean/max gap seconds — the arrival-cadence
