@@ -200,6 +200,33 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features_query(spark, sf_dir)
 
 
+def _doc_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 Summary finalize: one-row corpus rollup, oracle-checked."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("distinct_sources"),
+        F.countDistinct("lang").alias("distinct_langs"),
+    )
+
+
+def _pages_labels_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 missing-field repair, driver-materialized: the pipeline must
+    soft-degrade when optional columns (html, lang) are absent — the
+    null-fill path of run_metric_stage (rows-only: the repair itself is
+    the behavior under test)."""
+    from sequali_spark.pipeline import quality_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir).drop("html", "lang")
+    pages = pages.repartition(min(8, spark.sparkContext.defaultParallelism))
+    out_cols = ["url", "lang_pred", "keep", "html_utf8"]
+    m = quality_pipeline(spark, pages, repartition=False, output_columns=out_cols)
+    return m.select(*out_cols).orderBy("url")
+
+
 def _pages_distinct_urls_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-url count per host via SALTED two-stage
     aggregation — the skew-safe COUNT(DISTINCT) pattern for Zipf keys
@@ -296,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_time_window": _pages_time_window,
         "pages_host_report": _pages_host_report,
         "pages_distinct_urls_salted": _pages_distinct_urls_salted,
+        "pages_labels_missing_columns": _pages_labels_missing_columns,
+        "doc_corpus_summary": _doc_corpus_summary,
         "doc_langid": _doc_langid,
         "doc_perplexity": _doc_perplexity,
         "doc_compression_ratio": _doc_compression_ratio,
@@ -509,6 +538,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1) AS BIGINT) AS ws_tokens
             FROM documents WHERE length(text) > 0
             GROUP BY source ORDER BY source
+        """,
+        "doc_corpus_summary": """
+            SELECT count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   count(DISTINCT source) AS distinct_sources,
+                   count(DISTINCT lang) AS distinct_langs
+            FROM documents
         """,
         "doc_n50_report": """
             WITH h AS (
