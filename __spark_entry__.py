@@ -233,17 +233,12 @@ def _pages_distinct_urls_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked against the plain one-stage oracle (url -> salt is
     deterministic, the per-salt sets are disjoint, so the partial-sum is
     exact by construction)."""
+    from sequali_spark.operators.aggregates import per_host_distinct_urls_salted
+
     pages = _pages_from_documents(spark, sf_dir)
-    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
-    salted = pages.select(
-        host.alias("host"), F.pmod(F.xxhash64("url"), F.lit(16)).alias("salt"), "url"
-    )
-    partial = salted.groupBy("host", "salt").agg(
-        F.countDistinct("url").alias("partial_distinct")
-    )
     return (
-        partial.groupBy("host")
-        .agg(F.sum("partial_distinct").cast("long").alias("distinct_urls"))
+        per_host_distinct_urls_salted(pages)
+        .select("host", F.col("distinct_urls").cast("long").alias("distinct_urls"))
         .orderBy("host")
     )
 

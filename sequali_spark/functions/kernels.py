@@ -246,12 +246,14 @@ def hash_tokens(toks: list[str]) -> np.ndarray:
     codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
     cache = _TOK_CACHE
     uh = np.empty(len(uniques), dtype=np.uint64)
-    cache_has_room = len(cache) < _TOK_CACHE_CAP
     for j, t in enumerate(uniques):
         h = cache.get(t)
         if h is None:
             h = zlib.crc32(t.encode("utf-8"))
-            if cache_has_room:
+            # per-insert capacity check: the cap bounds worker memory on
+            # unbounded vocabularies (one oracle call can see the whole
+            # corpus), so it must hold within a single batch too
+            if len(cache) < _TOK_CACHE_CAP:
                 cache[t] = h
         uh[j] = h
     return uh[codes]

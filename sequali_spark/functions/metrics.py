@@ -65,6 +65,26 @@ RULE_ORDER = [
     "bad_html_encoding",
 ]
 
+# metric columns _apply_rules reads — keep in sync with the flags dict
+# (cheap: the rules read plain ndarray columns, nothing derived)
+RULE_INPUT_COLUMNS = frozenset(
+    {
+        "n_chars", "n_words", "mean_word_len", "digit_ratio", "upper_ratio",
+        "punct_ratio", "ctrl_ratio", "max_char_run", "dup_line_frac",
+        "top_bigram_frac", "perplexity", "lang_pred", "lang_conf",
+        "tox_hits", "html_utf8",
+    }
+)
+
+# columns compute_metrics may SKIP under output pruning; a pruned column
+# gets a dummy value, so it must never feed the keep/drop decision
+PRUNABLE_COLUMNS = frozenset({"compression_ratio", "shingles", "sampled", "fingerprint"})
+
+assert not (PRUNABLE_COLUMNS & RULE_INPUT_COLUMNS), (
+    "a prunable metric column is used by the rule battery — pruning it "
+    "would silently change keep/drop decisions"
+)
+
 METRIC_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, "
     "n_chars bigint, n_bytes bigint, n_words bigint, "
@@ -88,11 +108,15 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
     bounded per-doc NumPy loops (the same work sequali does per read).
 
     ``needed`` (the output projection, when the caller prunes columns)
-    lets the two expensive columns that feed NO keep/drop rule —
-    ``compression_ratio`` (zlib) and ``shingles`` (sampled k-gram
-    extraction) — be skipped entirely: computation pruning to match the
-    Arrow-boundary projection pruning.  None (the oracle/default path)
-    computes everything.
+    lets the expensive columns that feed NO keep/drop rule —
+    PRUNABLE_COLUMNS: compression_ratio (zlib), shingles (sampled k-gram
+    extraction), sampled (per-url hash), fingerprint (per-doc hash) — be
+    skipped entirely: computation pruning to match the Arrow-boundary
+    projection pruning.  None (the oracle/default path) computes
+    everything.  A module-level assertion keeps PRUNABLE_COLUMNS
+    disjoint from RULE_INPUT_COLUMNS, so adding a rule on a pruned
+    column is a loud import-time failure, never a silent keep/drop
+    divergence.
     """
     n = len(pdf)
     texts = pdf["text"].fillna("").astype(object)
@@ -108,7 +132,6 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
     tok_hashes = kernels.hash_tokens(flat)
     ws = kernels.word_stats_from_tokens(texts_list, flat, tok_lengths, tok_offsets, tok_hashes)
     run = kernels.max_char_run(raw_bytes)
-    fingerprints = kernels.dedup_fingerprints(raw_bytes)
 
     lang_pred, lang_conf = langid.get_model().predict(texts_list)
     ppl = perplexity.get_model().perplexities_hashed(tok_hashes, tok_lengths, tok_offsets)
@@ -130,7 +153,17 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
     def _want(col: str) -> bool:
         return needed is None or col in needed
 
-    sampled = kernels.url_sample_mask(pdf["url"])
+    fingerprints = (
+        kernels.dedup_fingerprints(raw_bytes)
+        if _want("fingerprint")
+        else np.zeros(n, dtype=np.int64)
+    )
+    # `sampled` feeds `shingles`, so it is computed when either is wanted
+    sampled = (
+        kernels.url_sample_mask(pdf["url"])
+        if _want("sampled") or _want("shingles")
+        else np.zeros(n, dtype=bool)
+    )
     shingles: list[list[str]] = (
         [
             [s.decode("utf-8", "replace") for s in kernels.doc_shingles(raw_bytes[i])]

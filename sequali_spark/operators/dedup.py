@@ -144,6 +144,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
 
 
+def collapse_exact_reps(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-dup ``digest`` group —
+    the shared rep-selection discipline for every sketch family
+    (minhash, simhash): ONE window over the fixed-width sketch frame,
+    never a shuffle of the text."""
+    wd = W.partitionBy("digest")
+    return (
+        sketch.withColumn("rep", F.min(id_col).over(wd))
+        .filter(F.col(id_col) == F.col("rep"))
+        .drop("rep", "digest")
+    )
+
+
 def exact_rep_labeled_sigs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -186,14 +199,9 @@ def minhash_pairs_for(
     cap only ever trims pathological near-dup clusters, whose pairs are
     recovered transitively through connected components.
     """
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     if collapse_exact:
-        sigs = (
-            exact_rep_labeled_sigs(docs, id_col=id_col, text_col=text_col)
-            .filter(F.col(id_col) == F.col("rep"))
-            .drop("rep")
-        )
-    else:
-        sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+        sigs = collapse_exact_reps(sigs, id_col=id_col)
     return minhash_pairs_from_sigs(sigs, id_col=id_col, threshold=threshold, max_bucket=max_bucket)
 
 
@@ -325,16 +333,11 @@ def simhash_near_dup_pairs(
             )
 
     _release_prior_cache("simhash")
-    # simhash + exact-dup digest in one map-side pass; rep selection is a
-    # window over the ~50 B/doc fingerprint frame — the text column never
-    # shuffles
-    wd = W.partitionBy("digest")
+    # simhash + exact-dup digest in one map-side pass; rep selection is
+    # the shared collapse_exact_reps window over the ~50 B/doc
+    # fingerprint frame — the text column never shuffles
     fps = (
-        d.select("doc_id", "text")
-        .mapInPandas(_batches, schema=schema)
-        .withColumn("rep", F.min("doc_id").over(wd))
-        .filter(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "simhash")
+        collapse_exact_reps(d.select("doc_id", "text").mapInPandas(_batches, schema=schema))
         .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
         .persist()
     )

@@ -101,3 +101,40 @@ def test_compression_ratios():
     assert out[0] == 1.0
     assert out[1] < 0.05  # pure repetition compresses away
     assert out[2] > out[1]  # richer byte diversity compresses worse
+
+
+def test_token_cache_cap_holds_within_one_batch(monkeypatch):
+    """The memo cap must bound insertions inside a single call too — one
+    oracle call can feed the whole corpus vocabulary."""
+    from sequali_spark.functions import kernels
+
+    monkeypatch.setattr(kernels, "_TOK_CACHE", {})
+    monkeypatch.setattr(kernels, "_TOK_CACHE_CAP", 10)
+    toks = [f"tok{i}" for i in range(100)]
+    out = kernels.hash_tokens(toks)
+    assert len(out) == 100
+    assert len(kernels._TOK_CACHE) <= 10
+    # values still correct despite the cap
+    import zlib
+    assert out[42] == zlib.crc32(b"tok42")
+
+
+def test_pruned_metrics_keep_decision_identical():
+    """Computation pruning must never change keep/drop: PRUNABLE_COLUMNS
+    is asserted disjoint from RULE_INPUT_COLUMNS at import, and this
+    pins the behavior end-to-end."""
+    import pandas as pd
+    from sequali_spark.fixtures import generate_pages
+    from sequali_spark.functions.metrics import PRUNABLE_COLUMNS, compute_metrics
+
+    p = generate_pages(300, seed=9)
+    pdf = pd.DataFrame(
+        {"url": p["url"], "warc_ts": p["warc_ts"], "html": p["html"],
+         "text": p["text"], "lang": p["lang"]}
+    )
+    full = compute_metrics(pdf)
+    pruned = compute_metrics(pdf, needed={"url", "keep", "drop_reasons"})
+    assert list(full["keep"]) == list(pruned["keep"])
+    assert [list(r) for r in full["drop_reasons"]] == [list(r) for r in pruned["drop_reasons"]]
+    # and the expensive columns were genuinely skipped (dummy values)
+    assert set(PRUNABLE_COLUMNS) <= set(full.columns)
