@@ -313,3 +313,35 @@ def test_kmeans_centroids_improve_quantization(spark, clustered_embeddings):
     # determinism: same call, same result
     c2b = similarity.kmeans_centroids(clustered_embeddings, n_centroids=10, n_iter=2)
     assert np.array_equal(c2, c2b)
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark, tmp_path):
+    """Plant near-identical embedding pairs among random vectors and
+    assert the sign-LSH-blocked near-dup pass surfaces exactly them
+    (the driver corpus has no near-dups, so that query returning 0 rows
+    is correct — this is the positive-path gate)."""
+    import numpy as np
+    from sequali_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(200):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], 0))
+    # plant 5 near-dup pairs: id 200+j is a tiny perturbation of id j
+    for j in range(5):
+        base = np.array(rows[j][1])
+        v = base + 0.01 * rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((200 + j, [float(x) for x in v], 0))
+    d = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label long"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    pairs = similarity.embedding_near_dup_pairs(spark, str(d), min_sim_bps=9900)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    planted = {(j, 200 + j) for j in range(5)}
+    assert planted <= got, f"missed {planted - got}"
+    assert got == planted, f"false positives: {got - planted}"
