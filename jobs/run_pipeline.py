@@ -17,6 +17,11 @@ Modes:
   batch      one-shot: labels + corpus report, no checkpointing
   resumable  per-warc_ts-day units with lineage (kill-safe, idempotent)
   stream     continuous: treat --input as a parquet drop directory
+  report     re-render the JSON report from a SAVED labels table, no
+             recompute (the reference's `sequali-report saved.json`
+             path, K4): --input is a labels parquet dir, --report the
+             destination; aggregates soft-degrade to whatever metric
+             columns the table carries
 
 Everything model-side (langid weights, LM counts, scrub patterns) is
 derived deterministically at import or shipped inside the zip — no
@@ -37,7 +42,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--mode", choices=["batch", "resumable", "stream"], default="batch")
+    ap.add_argument(
+        "--mode", choices=["batch", "resumable", "stream", "report"], default="batch"
+    )
     ap.add_argument("--report", default=None, help="write the corpus JSON report here")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
@@ -52,6 +59,36 @@ def main() -> None:
         run_stream_once(
             spark, args.input, args.output, args.checkpoint or args.output + "_ckpt"
         )
+        return
+
+    if args.mode == "report":
+        if not args.report:
+            raise SystemExit("--mode report requires --report <dest.json>")
+        from sequali_spark.operators import aggregates as agg
+
+        labels = spark.read.parquet(args.input)
+        cols = set(labels.columns)
+        report: dict = {
+            "counters": labels.agg(
+                F.count("*").alias("docs_seen"),
+                F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+            ).first().asDict()
+        }
+        if "drop_reasons" in cols:
+            report["rule_hits"] = {
+                r["rule"]: r["hits"] for r in agg.rule_hit_counts(labels).collect()
+            }
+        if "lang_pred" in cols:
+            report["lang_hist"] = {
+                r["lang"]: r["docs"] for r in agg.lang_histogram(labels).collect()
+            }
+        if "fingerprint" in cols:
+            report["duplication"] = [
+                r.asDict() for r in agg.duplication_histogram(labels).collect()
+            ]
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=0, sort_keys=True)
+        print(json.dumps({"re_rendered": True, "blocks": sorted(report)}))
         return
 
     from sequali_spark.pipeline import quality_pipeline, read_pages

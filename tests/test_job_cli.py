@@ -73,3 +73,36 @@ def test_resumable_job_cli(spark, pages_tiny, tmp_path):
     done2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][0])
     assert done2["processed_units"] == []  # resume finds nothing left
     assert spark.read.parquet(out).count() == len(pages_tiny)
+
+
+def test_report_mode_rerenders_without_recompute(spark, tmp_path):
+    """K4: --mode report reads a SAVED labels table and re-renders the
+    JSON report; blocks soft-degrade to the columns present."""
+    import json
+    import subprocess
+    import sys
+
+    from sequali_spark.fixtures import generate_pages
+    from sequali_spark.pipeline import quality_pipeline
+    from tests.test_pipeline import pages_df
+
+    labels_dir = str(tmp_path / "labels")
+    pages = pages_df(spark, generate_pages(200, seed=42))
+    cols = ["url", "keep", "drop_reasons", "lang_pred", "fingerprint"]
+    quality_pipeline(spark, pages, repartition=False, output_columns=cols).write.parquet(
+        labels_dir
+    )
+
+    report_path = str(tmp_path / "report.json")
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py", "--input", labels_dir,
+         "--output", str(tmp_path / "unused"), "--mode", "report",
+         "--report", report_path],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.load(open(report_path))
+    assert rep["counters"]["docs_seen"] == 200
+    assert set(rep) == {"counters", "rule_hits", "lang_hist", "duplication"}
+    assert sum(rep["lang_hist"].values()) == 200
