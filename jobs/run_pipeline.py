@@ -68,12 +68,10 @@ def main() -> None:
 
         labels = spark.read.parquet(args.input)
         cols = set(labels.columns)
-        report: dict = {
-            "counters": labels.agg(
-                F.count("*").alias("docs_seen"),
-                F.sum(F.col("keep").cast("long")).alias("docs_kept"),
-            ).first().asDict()
-        }
+        counter_aggs = [F.count("*").alias("docs_seen")]
+        if "keep" in cols:
+            counter_aggs.append(F.sum(F.col("keep").cast("long")).alias("docs_kept"))
+        report: dict = {"counters": labels.agg(*counter_aggs).first().asDict()}
         if "drop_reasons" in cols:
             report["rule_hits"] = {
                 r["rule"]: r["hits"] for r in agg.rule_hit_counts(labels).collect()
