@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_type_token_ratio": textqc.type_token_ratio,
         "doc_n50_report": textqc.n50_report,
         "doc_winnow_sql": textqc.winnow_fingerprint_stats,
+        "doc_stratified_sample": textqc.stratified_sample,
+        "doc_source_mixture_weights": textqc.source_mixture_weights,
         "doc_boilerplate_id": _boilerplate_id,
         # --- dedup family (DedupEstimator/A10, A18 lineage + extensions) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
@@ -555,6 +557,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(CASE WHEN cum * 2 >= total THEN n_chars END) AS n50_chars,
                    min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS n90_chars
             FROM m
+        """,
+        "doc_stratified_sample": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS pick_rank
+            FROM r WHERE rn <= 3 ORDER BY source, pick_rank
+        """,
+        "doc_source_mixture_weights": """
+            WITH scored AS (
+              SELECT source,
+                     (CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END
+                      + CASE WHEN length(text) <= 100000 THEN 1 ELSE 0 END
+                      + CASE WHEN length(text) - length(regexp_replace(text, '[ ]', '', 'g')) + 1 >= 10 THEN 1 ELSE 0 END
+                      + CASE WHEN CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / greatest(length(text), 1)) AS BIGINT) >= 5000 THEN 1 ELSE 0 END) AS score
+              FROM documents WHERE text IS NOT NULL
+            ), per AS (
+              SELECT source, count(*) AS docs, CAST(sum(score) AS BIGINT) AS gates_sum
+              FROM scored GROUP BY source
+            )
+            SELECT source, docs, gates_sum,
+                   CAST(floor(10000.0 * gates_sum / greatest(sum(gates_sum) OVER (), 1)) AS BIGINT) AS weight_bps
+            FROM per ORDER BY source
         """,
         "doc_winnow_sql": """
             WITH grams AS (

@@ -486,6 +486,50 @@ def winnow_fingerprint_stats(
     )
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str, per_source: int = 3) -> DataFrame:
+    """Deterministic stratified sample: the first ``per_source`` docs per
+    source ordered by content digest — training-data curation's
+    per-stratum pick, partition-invariant because the order key is a
+    content hash, never row position (the P15 discipline)."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("digest", "doc_id")
+    return (
+        d.select("source", "doc_id", F.md5("text").alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_source)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("pick_rank"))
+        .orderBy("source", "pick_rank")
+    )
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per source: weight ∝ sum of per-doc quality
+    gates passed (the SQL-expressible quality score), normalized to
+    basis points — the training-mixture curation step downstream of
+    quality filtering.  Integer arithmetic end-to-end so both engines
+    hash identically."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.length("text")
+    spaces = _count_class("[ ]")
+    alpha_bps = _bps(_count_class("[a-z]"), F.greatest(n, F.lit(1)))
+    score = (
+        (n >= 50).cast("long")
+        + (n <= 100000).cast("long")
+        + (spaces + 1 >= 10).cast("long")
+        + (alpha_bps >= 5000).cast("long")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum(score).cast("long").alias("gates_sum")
+    )
+    total = W.partitionBy()
+    weight = F.floor(
+        F.lit(10000) * F.col("gates_sum") / F.greatest(F.sum("gates_sum").over(total), F.lit(1))
+    ).cast("long")
+    return per.select("source", "docs", "gates_sum", weight.alias("weight_bps")).orderBy(
+        "source"
+    )
+
+
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive
