@@ -228,7 +228,7 @@ _TOK_CACHE: dict[str, int] = {}
 _TOK_CACHE_CAP = 1 << 20
 
 
-def hash_tokens(toks: list[str]) -> np.ndarray:
+def hash_tokens(toks: list[str], assume_no_nul: bool = False) -> np.ndarray:
     """crc32 per token (uint64 array) — deterministic across processes,
     C-speed.  Shared by the repetition metrics and the perplexity LM so
     one tokenization+hash pass serves both.
@@ -237,24 +237,39 @@ def hash_tokens(toks: list[str]) -> np.ndarray:
     vocabulary (C hash table, one pass), crc32 runs once per UNIQUE
     token (memoized across batches), and a single fancy-index gather
     fans the hashes back out.  The per-token Python dict loop this
-    replaced was the #1 kernel hot spot (~30% of compute_metrics)."""
+    replaced was the #1 kernel hot spot (~30% of compute_metrics).
+
+    By default factorization runs over the utf-8 BYTES (needed for crc32
+    anyway): pandas' str fast path uses NUL-terminated C-string hashing
+    and conflates '\\x00'-bearing tokens with their prefixes (found by
+    hypothesis: factorize(['', '\\x00']) -> one unique); bytes objects
+    route through the PyObject hashtable, which is NUL-safe.
+    ``assume_no_nul=True`` (callers that memchr-scanned the batch, e.g.
+    compute_metrics) factorizes the strs directly and only encodes the
+    uniques — ~10% faster on the hot path."""
     n = len(toks)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     import pandas as pd
 
-    codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
-    cache = _TOK_CACHE
+    cache = _TOK_CACHE  # str keys (fast path) and bytes keys never collide
+    if assume_no_nul:
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    else:
+        enc = np.empty(n, dtype=object)
+        for i, t in enumerate(toks):
+            enc[i] = t.encode("utf-8")
+        codes, uniques = pd.factorize(enc, sort=False)
     uh = np.empty(len(uniques), dtype=np.uint64)
-    for j, t in enumerate(uniques):
-        h = cache.get(t)
+    for j, u in enumerate(uniques):
+        h = cache.get(u)
         if h is None:
-            h = zlib.crc32(t.encode("utf-8"))
+            h = zlib.crc32(u.encode("utf-8") if assume_no_nul else u)
             # per-insert capacity check: the cap bounds worker memory on
             # unbounded vocabularies (one oracle call can see the whole
             # corpus), so it must hold within a single batch too
             if len(cache) < _TOK_CACHE_CAP:
-                cache[t] = h
+                cache[u] = h
         uh[j] = h
     return uh[codes]
 

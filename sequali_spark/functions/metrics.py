@@ -126,10 +126,24 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
     n_bytes = cls_counts.sum(axis=1) - cls_counts[:, kernels.N_CLASSES]
     denom = np.maximum(n_bytes, 1).astype(np.float64)
 
-    # ONE tokenize+hash pass feeds repetition metrics AND perplexity
+    # ONE tokenize+hash pass feeds repetition metrics AND perplexity.
+    # Per-doc NUL scan (memchr speed) licenses hash_tokens' str-factorize
+    # fast path for clean docs' tokens; the rare NUL-bearing docs take
+    # the byte-safe path and the results are stitched back in order —
+    # one junk doc must not demote the whole batch.
     texts_list = list(texts)
     flat, tok_lengths, tok_offsets = kernels.flatten_tokens(texts_list)
-    tok_hashes = kernels.hash_tokens(flat)
+    nul_docs = np.fromiter((b"\x00" in rb for rb in raw_bytes), bool, n)
+    if not nul_docs.any():
+        tok_hashes = kernels.hash_tokens(flat, assume_no_nul=True)
+    else:
+        tok_mask = np.repeat(nul_docs, tok_lengths)
+        flat_arr = np.asarray(flat, dtype=object)
+        tok_hashes = np.empty(len(flat), dtype=np.uint64)
+        tok_hashes[~tok_mask] = kernels.hash_tokens(
+            list(flat_arr[~tok_mask]), assume_no_nul=True
+        )
+        tok_hashes[tok_mask] = kernels.hash_tokens(list(flat_arr[tok_mask]))
     ws = kernels.word_stats_from_tokens(texts_list, flat, tok_lengths, tok_offsets, tok_hashes)
     run = kernels.max_char_run(raw_bytes)
 

@@ -135,3 +135,17 @@ def test_simhash_majority_definition(ts):
             if 2 * ones > len(sh):
                 exp |= 1 << bit
         assert got == exp & 0x7FFFFFFFFFFFFFFF
+
+
+@given(st.lists(st.text(max_size=30), min_size=0, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_hash_tokens_fast_path_matches_when_nul_free(toks):
+    """assume_no_nul is only valid on NUL-free batches — assert it
+    matches crc32 there (the safe default is covered separately)."""
+    import zlib
+    import numpy as np
+
+    nul_free = [t for t in toks if "\x00" not in t]
+    got = kernels.hash_tokens(nul_free, assume_no_nul=True)
+    exp = np.array([zlib.crc32(t.encode("utf-8")) for t in nul_free], dtype=np.uint64)
+    assert got.shape == exp.shape and (got == exp).all()
