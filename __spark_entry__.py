@@ -10,7 +10,18 @@ value hashes match across engines bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# executor Python workers import sequali_spark by path: make the repo
+# importable regardless of the harness's cwd, and export it BEFORE any
+# SparkContext starts so local-mode workers inherit it
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
