@@ -277,12 +277,14 @@ def length_distribution(metric_df: DataFrame, bucket: int = 100) -> DataFrame:
 
 
 def n50_analogue(metric_df: DataFrame) -> DataFrame:
-    """Length at which cumulative chars (ascending) cross 50% / 90% of the
-    corpus — N50/N90 transplant (reference: report_modules.py:621-633)."""
+    """N50/N90 transplant (reference: report_modules.py:621-633): N50 is
+    the length at the 50% ascending-cumulative-char crossing; N90 is the
+    length at the **10%** crossing (docs at-or-above it carry 90% of the
+    mass — the reference's ten_percent_bases walk, so n90 <= n50)."""
     dist = length_distribution(metric_df, bucket=1)
     out = dist.select(
         F.min(F.when(F.col("cum_char_frac") >= 0.5, F.col("length_bucket"))).alias("n50_length"),
-        F.min(F.when(F.col("cum_char_frac") >= 0.9, F.col("length_bucket"))).alias("n90_length"),
+        F.min(F.when(F.col("cum_char_frac") >= 0.1, F.col("length_bucket"))).alias("n90_length"),
     )
     return out
 

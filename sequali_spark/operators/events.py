@@ -15,16 +15,31 @@ from pyspark.sql import functions as F
 from sequali_spark.operators.textqc import load
 
 
+def _value_sum_cents() -> F.Column:
+    """Exact value sum emitted as BIGINT cents: sum in decimal (exact,
+    no float drift), then floor(x*100) into the integer domain.  The
+    reference's discipline is integer output domains everywhere (phred
+    ints, counts — report_modules.py emits ints/fractions-of-ints);
+    DECIMAL output columns are banned from driver-facing queries because
+    engine bindings disagree on how to surface them (pandas coerces
+    DECIMAL->float64), while BIGINT is unambiguous.  The intermediate
+    cast to decimal(30,6) keeps the *100 inside decimal range on both
+    engines (a 38-precision input would spill the multiply)."""
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)")
+    return F.floor(dec_sum * 100).cast("long")
+
+
 def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour: events, distinct users, exact decimal value sum — the
-    A17 time-slot report (distinct users ≙ distinct channels)."""
+    """Per-hour: events, distinct users, exact value sum in integer
+    cents — the A17 time-slot report (distinct users ≙ distinct
+    channels)."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
             F.count("*").alias("events"),
             F.countDistinct("user_id").alias("distinct_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+            _value_sum_cents().alias("value_sum_cents"),
         )
         .orderBy("hour")
     )
@@ -37,7 +52,7 @@ def event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("events"),
             F.countDistinct("user_id").alias("distinct_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+            _value_sum_cents().alias("value_sum_cents"),
         )
         .orderBy("event_type")
     )
@@ -86,27 +101,41 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
 
 
 def top_users_by_value(spark: SparkSession, sf_dir: str, top_n: int = 25) -> DataFrame:
-    """Top-N users by exact decimal value sum (T1 sort/limit pattern)."""
+    """Top-N users by exact value sum in integer cents (T1 sort/limit
+    pattern).  Ordering is on the emitted cents column so both engines
+    rank by the identical integer key (floor ties broken by user_id the
+    same way on both sides)."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+            _value_sum_cents().alias("value_sum_cents"),
             F.count("*").alias("events"),
         )
-        .orderBy(F.desc("value_sum"), "user_id")
+        .orderBy(F.desc("value_sum_cents"), "user_id")
         .limit(top_n)
     )
 
 
-def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+# the events table's closed event-type vocabulary (TESTDATA.md); a
+# static list keeps the pivot builder free of driver round-trips — at
+# scale a collected distinct() would be a blocking job per query build
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_hourly_pivot(
+    spark: SparkSession, sf_dir: str, event_types: tuple[str, ...] = EVENT_TYPES
+) -> DataFrame:
     """Per-day event-type pivot — the quality-bin pivot of A17 (per-slot
-    12-bin quality distribution) as conditional aggregation."""
+    12-bin quality distribution) as conditional aggregation.  Pivot
+    columns come from an explicit vocabulary (caller-supplied for open
+    vocabularies), never a driver-side distinct() collect in the build
+    path."""
     e = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
-    types = [r["event_type"] for r in e.select("event_type").distinct().orderBy("event_type").collect()]
     aggs = [
-        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}") for t in types
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in event_types
     ]
     return e.groupBy(day).agg(*aggs).orderBy("day")
 

@@ -1,8 +1,14 @@
 """Generic relational demonstrations on the TPC-H-ish tables.
 
 The engine's relational substrate (joins, partial+final aggregation,
-broadcast selection, top-k) exercised on the driver's star schema —
-decimal-exact arithmetic so results match any ANSI engine bit-for-bit.
+broadcast selection, top-k) exercised on the driver's star schema.
+Arithmetic runs decimal-exact internally, but every OUTPUT money column
+is BIGINT cents (floor(sum*100)): DECIMAL columns are banned from the
+emitted schema because engine bindings disagree on how to surface them
+(pandas coerces DECIMAL->float64) — the reference's own discipline is
+integer output domains everywhere (report_modules.py emits
+ints/fractions-of-ints).  Semantics: the exact decimal sum is truncated
+to cents once, after aggregation — never per row.
 """
 
 from __future__ import annotations
@@ -17,6 +23,19 @@ def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,6)")
 
 
+def _cents(dec_sum: F.Column) -> F.Column:
+    """Exact decimal aggregate -> BIGINT cents.  The cast to
+    decimal(30,s) before *100 keeps the multiply inside decimal range on
+    both engines (a precision-38 operand would spill the product to
+    double on DuckDB and truncate scale on Spark)."""
+    return F.floor(dec_sum.cast("decimal(30,6)") * 100).cast("long")
+
+
+def _cents12(dec_sum: F.Column) -> F.Column:
+    """Same, for scale-12 product sums (price * (1-discount))."""
+    return F.floor(dec_sum.cast("decimal(30,12)") * 100).cast("long")
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary; exact decimal sums (map-side
     partial agg + final agg, AQE-coalesced)."""
@@ -25,12 +44,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # widen the FINAL sums to one pinned type: Spark's sum(decimal(18,6))
-            # is decimal(28,6) while other ANSI engines widen to decimal(38,6) —
-            # pin both sides so value hashes match bit-for-bit
-            F.sum(_dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,6)").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))).cast("decimal(38,12)").alias("sum_disc_price"),
+            _cents(F.sum(_dec("l_quantity"))).alias("sum_qty_cents"),
+            _cents(F.sum(_dec("l_extendedprice"))).alias("sum_base_price_cents"),
+            _cents12(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
+            ).alias("sum_disc_price_cents"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -49,8 +67,9 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, top_n: int = 10) -> D
         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .filter((F.col("o_orderdate") < F.lit("1995-03-15")) & (F.col("l_shipdate") > F.lit("1995-03-15")))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(revenue.cast("decimal(38,12)").alias("revenue"))
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(_cents12(revenue).alias("revenue_cents"))
+        # rank on the emitted integer so both engines cut the same top-k
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
         .limit(top_n)
     )
 
@@ -90,7 +109,7 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("orders"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
+            _cents(F.sum(_dec("l_quantity"))).alias("sum_qty_cents"),
         )
         .orderBy(
             F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
@@ -114,7 +133,7 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count("*").alias("events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias("value_sum_cents"),
         )
         .orderBy("band")
     )

@@ -410,13 +410,15 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n50_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N50/N90 analogue: the smallest doc length at which the ascending
-    cumulative char mass reaches 50% / 90% of the corpus — the
-    reference's flagship length statistic computed by cumulative walk
-    over the (tiny) length histogram, never a sketch (reference:
-    report_modules.py:621-633; integration test pins n50==59502 at
-    tests/test_integration.py:127-137).  Integer comparisons
-    (cum*2 >= total) keep both engines bit-exact."""
+    """N50/N90 analogue computed by cumulative walk over the (tiny)
+    length histogram, never a sketch (reference:
+    report_modules.py:621-633; integration test pins n50==59502,
+    n90==7517 at tests/test_integration.py:127-137).  N50 is the length
+    at the 50% ascending-cumulative crossing; N90 is the length at the
+    **10%** ascending crossing — docs at-or-above it carry 90% of the
+    char mass, so n90 <= n50, matching the reference's
+    ten_percent_bases walk.  Integer comparisons (cum*k >= total) keep
+    both engines bit-exact."""
     d = load(spark, sf_dir, "documents")
     hist = d.groupBy("n_chars").agg(F.sum("n_chars").alias("chars"))
     w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -428,7 +430,7 @@ def n50_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n50_chars"
         ),
         F.min(
-            F.when(F.col("cum_chars") * 10 >= F.col("total") * 9, F.col("n_chars"))
+            F.when(F.col("cum_chars") * 10 >= F.col("total"), F.col("n_chars"))
         ).alias("n90_chars"),
     )
 

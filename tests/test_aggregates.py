@@ -110,11 +110,15 @@ def test_length_distribution_and_n50(metric_df, pages_small):
     n = agg.n50_analogue(metric_df).first()
     lens = sorted(pages_small["text"].str.len())
     total = sum(lens)
-    cum, n50 = 0, None
+    cum, n50, n90 = 0, None, None
     for length in lens:
         cum += length
-        if cum >= total / 2:
+        if n90 is None and cum * 10 >= total:
+            n90 = length
+        if cum * 2 >= total:
             n50 = length
             break
     assert n["n50_length"] == n50
-    assert n["n90_length"] >= n["n50_length"]
+    # reference semantics: N90 = 10% ascending crossing -> n90 <= n50
+    assert n["n90_length"] == n90
+    assert n["n90_length"] <= n["n50_length"]
