@@ -190,14 +190,19 @@ def minhash_pairs_for(
     verified by estimated Jaccard from full signatures before emission.
 
     ``max_bucket`` is the degenerate-bucket guard: a band bucket holding
-    B ids emits B^2/2 candidates, so one mega-cluster (B=10^6 identical
+    B ids emits B^2/2 candidates, so one mega-cluster (B=10^6 near-dup
     boilerplate docs) would emit 5*10^11 rows from a single key at
-    corpus scale.  Buckets above the cap are dropped BEFORE the
-    self-join (the reference bounds every table the same way:
-    _qcmodule.c:3429-3431, 4248-4253).  ``collapse_exact`` runs LSH on
+    corpus scale.  Over-cap buckets are NOT dropped (a >cap cluster of
+    non-byte-identical docs would lose every bucket and emit zero pairs)
+    — they are star-capped: the first ``max_bucket`` members (ordered by
+    a deterministic per-bucket hash) pair all-vs-all, and every member
+    past the cap emits ONE candidate against the bucket anchor, so the
+    bucket contributes at most cap^2/2 + (B-cap) rows while the whole
+    cluster stays connected for the downstream connected-components
+    pass.  (Bounded tables are the reference's own discipline:
+    _qcmodule.c:3429-3431, 4248-4253.)  ``collapse_exact`` runs LSH on
     exact-dedup representatives only (see exact_rep_labeled_sigs) so the
-    cap only ever trims pathological near-dup clusters, whose pairs are
-    recovered transitively through connected components.
+    cap only ever engages on pathological near-dup clusters.
     """
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     if collapse_exact:
@@ -220,30 +225,46 @@ def minhash_pairs_from_sigs(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
+    overflow_pairs = None
     if max_bucket:
+        # one shuffle on the bucket key; the self-join below reuses it.
+        # ordering salts the id hash with the band hash so an over-cap
+        # cluster samples a DIFFERENT head in each of its band buckets
         bucket_w = W.partitionBy("band_idx", "band_hash")
-        bands = (
-            bands.withColumn("_bucket_n", F.count("*").over(bucket_w))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
+        rank_w = bucket_w.orderBy(
+            F.xxhash64(F.col(id_col), F.col("band_hash")), F.col(id_col)
         )
+        ranked = bands.withColumn("_rn", F.row_number().over(rank_w))
+        anchors = ranked.filter(F.col("_rn") == 1).select(
+            "band_idx", "band_hash", F.col(id_col).alias("_anchor")
+        )
+        # star-cap: members past the cap connect to the bucket anchor
+        # (O(B) rows) instead of all-pairs (O(B^2)) or silent drop
+        overflow_pairs = (
+            ranked.filter(F.col("_rn") > max_bucket)
+            .join(anchors, ["band_idx", "band_hash"])
+            .select(
+                F.least(F.col(id_col), F.col("_anchor")).alias("doc_a"),
+                F.greatest(F.col(id_col), F.col("_anchor")).alias("doc_b"),
+            )
+        )
+        bands = ranked.filter(F.col("_rn") <= max_bucket).drop("_rn")
     left = bands.alias("l")
     right = bands.alias("r")
     # candidate ids only — signatures (64×8B arrays) would multiply the
     # self-join shuffle ~20×; they are re-attached per UNIQUE pair below
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
-        .distinct()
+    cand = left.join(
+        right,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"),
+        F.col(f"r.{id_col}").alias("doc_b"),
     )
+    if overflow_pairs is not None:
+        cand = cand.unionByName(overflow_pairs)
+    cand = cand.distinct()
     a = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
     est = F.aggregate(
@@ -310,8 +331,12 @@ def simhash_near_dup_pairs(
       doc in the corpus (quadratic);
     - exact duplicates are collapsed to one representative first
       (identical text => identical simhash => all D ids in every block
-      bucket), and block buckets above ``max_bucket`` are dropped —
-      bounded tables, the reference's own discipline
+      bucket), and block buckets above ``max_bucket`` are star-capped:
+      the first cap members (deterministic per-bucket hash order) pair
+      all-vs-all, members past the cap emit one candidate against the
+      bucket anchor — at most cap^2/2 + (B-cap) rows per bucket while
+      an over-cap near-dup cluster stays connected (never silently
+      dropped).  Bounded tables are the reference's own discipline
       (_qcmodule.c:3429-3431, 4248-4253).
     """
     import hashlib as _hl
@@ -356,32 +381,49 @@ def simhash_near_dup_pairs(
         )
     chunks = fps.select(
         "doc_id",
-        "simhash",
         F.explode(F.array(*block_cols)).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    overflow_pairs = None
     if max_bucket:
         bucket_w = W.partitionBy("chunk_idx", "chunk")
-        chunks = (
-            chunks.withColumn("_bucket_n", F.count("*").over(bucket_w))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
+        rank_w = bucket_w.orderBy(
+            F.xxhash64(F.col("doc_id"), F.col("chunk")), F.col("doc_id")
         )
+        ranked = chunks.withColumn("_rn", F.row_number().over(rank_w))
+        anchors = ranked.filter(F.col("_rn") == 1).select(
+            "chunk_idx", "chunk", F.col("doc_id").alias("_anchor")
+        )
+        overflow_pairs = (
+            ranked.filter(F.col("_rn") > max_bucket)
+            .join(anchors, ["chunk_idx", "chunk"])
+            .select(
+                F.least(F.col("doc_id"), F.col("_anchor")).alias("doc_a"),
+                F.greatest(F.col("doc_id"), F.col("_anchor")).alias("doc_b"),
+            )
+        )
+        chunks = ranked.filter(F.col("_rn") <= max_bucket).drop("_rn")
     l, r = chunks.alias("l"), chunks.alias("r")
-    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    # candidate ids only; fingerprints are re-attached per UNIQUE pair
+    cand = l.join(
+        r,
+        (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+        & (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("doc_a"),
+        F.col("r.doc_id").alias("doc_b"),
+    )
+    if overflow_pairs is not None:
+        cand = cand.unionByName(overflow_pairs)
+    cand = cand.distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sh_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sh_b"))
+    hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -389,24 +431,44 @@ def simhash_near_dup_pairs(
 # --- n-gram Jaccard (exact verify) ------------------------------------------
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame | None = None,
+    k: int = 5,
+    max_grams: int = 512,
 ) -> DataFrame:
-    """Exact character-k-gram Jaccard for candidate pairs (default: the
+    """Character-k-gram Jaccard for candidate pairs (default: the
     MinHash candidates) — the verification stage of the dedup pipeline;
-    a broadcast-friendly join of shingle sets."""
+    a broadcast-friendly join of shingle sets.
+
+    ``max_grams`` bounds the shuffle row width to O(1) per doc: a doc's
+    distinct-gram set is O(len), and each candidate pair shuffles both
+    sets, so unbounded arrays make the verify stage's row width scale
+    with document length at 100 TB.  Docs with <= max_grams distinct
+    grams are verified EXACTLY; larger docs are verified on their
+    bottom-``max_grams`` grams by xxhash64 order — a deterministic
+    min-hash-style sample (same hash on both sides, so shared grams are
+    sampled consistently), giving a Jaccard estimate whose error is
+    pinned by tests/test_dedup_recall.py against exact Jaccard on the
+    fixture."""
     d = load(spark, sf_dir, "documents")
     if candidates is None:
         candidates = minhash_near_dup_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(
-                F.transform(idx, lambda i: F.col("text").substr(i, F.lit(k))),
-                lambda s: F.length(s) == k,
-            )
-        ).alias("grams"),
+    all_grams = F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.col("text").substr(i, F.lit(k))),
+            lambda s: F.length(s) == k,
+        )
     )
+    # bottom-max_grams by hash: sort (hash, gram) structs, slice, unwrap
+    hashed = F.transform(
+        all_grams, lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g"))
+    )
+    capped = F.when(F.size(all_grams) <= max_grams, all_grams).otherwise(
+        F.transform(F.slice(F.array_sort(hashed), 1, max_grams), lambda s: s["g"])
+    )
+    grams = d.select("doc_id", capped.alias("grams"))
     a = grams.alias("ga")
     b = grams.alias("gb")
     joined = (

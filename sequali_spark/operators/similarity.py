@@ -268,17 +268,23 @@ def kmeans_centroids(
     e: DataFrame, n_centroids: int = 16, n_iter: int = 2, dim: int = EMB_DIM
 ) -> np.ndarray:
     """Deterministic distributed Lloyd iterations for the IVF coarse
-    quantizer: init = first ``n_centroids`` vectors (seedless, ordered
-    by id), then each round assigns every vector to its max-cosine
-    centroid (Arrow batch kernel) and recomputes means via
-    posexplode -> groupBy(centroid, dim) — the shuffle carries
-    n_centroids*dim aggregates, and the driver only ever collects the
-    n_centroids x dim mean matrix (bounded, never the data).  Empty
-    clusters keep their previous centroid."""
-    init_rows = (
-        e.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select("embedding").collect()
-    )
+    quantizer: init = first ``n_centroids`` vectors in id order
+    (``orderBy.limit``, NOT a ``vec_id < n`` filter — a sparse or offset
+    id space would silently yield fewer centroids and break the
+    n_probe == n_centroids brute-force-degradation guarantee), then each
+    round assigns every vector to its max-cosine centroid (Arrow batch
+    kernel) and recomputes means via posexplode ->
+    groupBy(centroid, dim) — the shuffle carries n_centroids*dim
+    aggregates, and the driver only ever collects the n_centroids x dim
+    mean matrix (bounded, never the data).  The init matrix is
+    L2-normalized so the round-1 dot-product argmax is max-cosine even
+    when embedding norms vary; empty clusters keep their previous
+    centroid."""
+    init_rows = e.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
     centroids = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    init_norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    init_norms[init_norms == 0] = 1.0
+    centroids = centroids / init_norms
     for _ in range(n_iter):
         assigned = e.select("vec_id", "embedding").mapInPandas(
             _ivf_assign_udf(centroids), schema="vec_id long, centroid long"

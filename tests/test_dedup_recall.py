@@ -170,14 +170,25 @@ def mega_cluster_dir(spark, tmp_path_factory):
 
 
 def test_minhash_bucket_cap_bounds_identical_cluster(spark, mega_cluster_dir):
-    """80 identical docs would put 80 ids in every band bucket (80^2/2
-    candidates per band); the bucket cap drops them before the join."""
+    """80 identical docs put 80 ids in every band bucket (80*79/2
+    candidates per band when uncapped).  The star-cap must keep the
+    candidate volume bounded (~cap^2/2 + (B-cap) per bucket) while
+    keeping the cluster CONNECTED — the pre-fix behavior dropped
+    over-cap buckets entirely, so a >cap cluster of near- but not
+    byte-identical docs emitted ZERO pairs."""
     docs = dedup.load(spark, mega_cluster_dir, "documents")
-    pairs = dedup.minhash_pairs_for(docs, threshold=0.8, max_bucket=64).collect()
-    ids_in_cluster = {r["doc_a"] for r in pairs if r["doc_a"] < 80} | {
-        r["doc_b"] for r in pairs if r["doc_b"] < 80
-    }
-    assert not ids_in_cluster, "mega-cluster ids must not reach the pair join"
+    pairs = dedup.minhash_pairs_for(docs, threshold=0.8, max_bucket=8).collect()
+    intra = [
+        (r["doc_a"], r["doc_b"]) for r in pairs if r["doc_a"] < 80 and r["doc_b"] < 80
+    ]
+    assert intra, "over-cap cluster must emit pairs (star-capped, not dropped)"
+    # bounded: per bucket <= 8*7/2 head pairs + 72 star rows, 16 bands
+    assert len(intra) <= 16 * (8 * 7 // 2 + 72)
+    assert len(intra) < 80 * 79 / 2
+    # connected: every cluster member reaches keeper 0 via the pairs
+    comp = _union_find(intra)
+    assert set(range(80)) <= set(comp)
+    assert {comp[x] for x in range(80)} == {0}
     # the rare-bucket near-dup pair survives the cap
     assert (83, 84) in {(r["doc_a"], r["doc_b"]) for r in pairs}
 
@@ -210,6 +221,45 @@ def test_winnow_stop_fingerprint_cap(spark, mega_cluster_dir):
     uncapped = dedup.winnow_overlap_pairs(spark, mega_cluster_dir, max_postings=0)
     n_intra = uncapped.filter("doc_a < 80 AND doc_b < 80").count()
     assert n_intra == 80 * 79 / 2  # the blowup the cap removes
+
+
+def test_ngram_jaccard_cap_exact_below_estimates_above(spark, tmp_path):
+    """max_grams bounds verify-stage row width: docs under the cap are
+    verified exactly (capped == uncapped bit-for-bit); docs over the cap
+    are verified on a deterministic bottom-k gram sample whose estimate
+    must sit within ~10% of exact Jaccard (bottom-k sketch error
+    ~1/sqrt(k))."""
+    import random
+
+    rng = random.Random(5)
+    long_a = "".join(rng.choice("abcdefghij") for _ in range(4000))
+    long_b = long_a[:2000] + "".join(rng.choice("abcdefghij") for _ in range(2000))
+    short_a = "the quick brown fox jumps over the lazy dog"
+    short_b = "the quick brown fox jumped over a lazy dog"
+    d = tmp_path / "ngram"
+    spark.createDataFrame(
+        [(0, long_a), (1, long_b), (2, short_a), (3, short_b)],
+        schema="doc_id long, text string",
+    ).write.parquet(str(d / "documents.parquet"))
+    cands = spark.createDataFrame(
+        [(0, 1), (2, 3)], schema="doc_a long, doc_b long"
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bps"]
+        for r in dedup.ngram_jaccard_pairs(
+            spark, str(d), candidates=cands, max_grams=1 << 30
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bps"]
+        for r in dedup.ngram_jaccard_pairs(
+            spark, str(d), candidates=cands, max_grams=512
+        ).collect()
+    }
+    assert capped[(2, 3)] == exact[(2, 3)], "below-cap pair must be exact"
+    assert abs(capped[(0, 1)] - exact[(0, 1)]) <= 1000, (
+        f"bottom-k estimate {capped[(0, 1)]} vs exact {exact[(0, 1)]}"
+    )
 
 
 def test_dedup_keepers_folds_exact_dups(spark, mega_cluster_dir):

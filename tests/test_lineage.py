@@ -59,6 +59,93 @@ def test_rerun_is_idempotent(spark, pages, tmp_path):
     assert total == pages.count()
 
 
+def test_concurrent_writers_on_disjoint_units(spark, pages, tmp_path):
+    """Two drivers racing on DISJOINT units of the same table must
+    compose: the lineage append is one atomically-renamed file per row
+    (no shared mutable state) and each unit's write lands in its own
+    day partition, so no coordination is required — the cluster-ready
+    claim of the Iceberg seam's parquet fallback.  Simulated with two
+    threads sharing the session (Spark supports concurrent job
+    submission), each given a disjoint half of the days."""
+    import threading
+
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+    days = sorted(
+        str(r["d"])
+        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().collect()
+    )
+    half = len(days) // 2
+    assert half >= 1
+    splits = [days[:half], days[half:]]
+    results: list[list[str]] = [None, None]
+    errors: list[Exception] = []
+
+    def work(i):
+        try:
+            subset = pages.filter(
+                F.to_date("warc_ts").cast("string").isin(splits[i])
+            )
+            results[i] = lineage.run_resumable(spark, subset, out, lin)
+        except Exception as e:  # surfaced below — a bare thread death would hang asserts
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results[0] + results[1]) == days
+    assert set(results[0]).isdisjoint(results[1])
+    # every unit done exactly once; output reconciles with the input
+    assert lineage.completed_units(spark, lin) == set(days)
+    assert spark.read.parquet(out).count() == pages.count()
+    rep = lineage.lineage_report(spark, lin).collect()[0]
+    assert rep["status"] == "done" and rep["units"] == len(days)
+    assert rep["docs_seen"] == pages.count()
+
+
+def test_force_units_overlap_last_writer_wins(spark, pages, tmp_path):
+    """Two force_units re-runs of the SAME unit with different inputs:
+    the second replacement wins, output never duplicates, and lineage
+    keeps every attempt (append-only) while completed_units stays
+    consistent."""
+    out = str(tmp_path / "labels")
+    lin = str(tmp_path / "lineage")
+    lineage.run_resumable(spark, pages, out, lin)
+    days = sorted(
+        str(r["day"])
+        for r in spark.read.parquet(out).select("day").distinct().collect()
+    )
+    target = days[0]
+    target_urls = sorted(
+        r["url"]
+        for r in pages.filter(F.to_date("warc_ts") == target).select("url").collect()
+    )
+    # writer 1 keeps the first half, writer 2 (last) keeps the first 3
+    input_1 = pages.filter(
+        (F.to_date("warc_ts") != target)
+        | F.col("url").isin(target_urls[: len(target_urls) // 2])
+    )
+    input_2 = pages.filter(
+        (F.to_date("warc_ts") != target) | F.col("url").isin(target_urls[:3])
+    )
+    assert lineage.run_resumable(spark, input_1, out, lin, force_units=[target]) == [target]
+    assert lineage.run_resumable(spark, input_2, out, lin, force_units=[target]) == [target]
+
+    after = spark.read.parquet(out)
+    # last writer wins: the unit's partition holds exactly input_2's docs
+    assert after.filter(F.col("day") == target).count() == 3
+    assert after.count() == input_2.count()
+    # lineage is append-only history: 3 attempts recorded, one unit set
+    attempts = (
+        lineage._lineage_rows(spark, lin).filter(F.col("unit") == target).count()
+    )
+    assert attempts == 3
+    assert lineage.completed_units(spark, lin) == set(days)
+
+
 def test_force_rerun_replaces_unit_output(spark, pages, tmp_path):
     """MERGE-by-replacement on the parquet fallback: re-running one unit
     with CHANGED input replaces that unit's partition exactly (no
