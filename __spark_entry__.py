@@ -277,15 +277,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out in three blocks:
 
     1. entries 1-50: every oracle-backed query we want judged — all
-       rows+schema+hash checkable.  55 oracles compete for 50 slots;
-       the 5 that deliberately overflow (block 2) are twice-green
-       redundant siblings whose operators stay pinned by the local
+       rows+schema+hash checkable.  56 oracles compete for 50 slots;
+       the 6 that deliberately overflow (block 2) are redundant or
+       late-added siblings whose operators stay pinned by the local
        typed-Arrow mirror (tests/test_entry_parity.py).
-    2. the 5 overflow oracle-backed siblings: doc_length_cumdist /
+    2. the 6 overflow oracle-backed entries: doc_length_cumdist /
        doc_log_length_histogram / doc_alpha_ratio_histogram (binning
        variants of doc_length_histogram + doc_char_ratios),
        doc_bottom_decile (percentile sibling), doc_probe_position_curve
-       (substring_scan + cumsum composition, both judged separately).
+       (substring_scan + cumsum composition, both judged separately),
+       doc_token_zipf_mass (token-frequency sibling of
+       doc_type_token_ratio / doc_stopword_fraction).
     3. rows-only entries (no SQL oracle by nature: sketch-based dedup,
        ANN, Python model scorers, multimodal stub).
 
@@ -358,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_probe_position_curve": textqc.probe_position_curve,
+        "doc_token_zipf_mass": textqc.token_zipf_mass,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -798,6 +801,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_token_zipf_mass": """
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE length(text) > 0
+            ), counts AS (
+              SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
+            ), per AS (
+              SELECT t.source, count(*) AS tokens,
+                     CAST(sum(c.tok_freq) AS BIGINT) AS zipf_mass
+              FROM toks t JOIN counts c USING (tok) GROUP BY t.source
+            )
+            SELECT source, tokens, zipf_mass,
+                   CAST((1000000 * zipf_mass) // (tokens * (SELECT sum(tokens) FROM per)) AS BIGINT) AS mean_tok_freq_ppm
+            FROM per ORDER BY source
         """,
         "doc_type_token_ratio": """
             WITH toks AS (

@@ -532,6 +532,45 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-frequency mass: for every token occurrence,
+    the corpus-wide frequency of that token, summed per source — the
+    integer-exact, SQL-checkable surrogate for the unigram-LM score
+    (functions/perplexity.py scores -mean log p(token); this scores
+    mean corpus frequency, the same commonness signal without log/exp
+    float drift, so it can be value-hashed against an ANSI oracle).
+
+    Plan shape: explode tokens once -> self-aggregate the vocabulary ->
+    join occurrences back to their global counts -> per-source rollup.
+    Two shuffles on the token (vocab agg + join-back), both on a hashed
+    key that distributes uniformly; the final rollup is tiny.
+    ``mean_tok_freq_ppm`` = floor(1e6 * mass / (tokens * total_tokens)),
+    pure integer division on both engines (Spark DIV / DuckDB //) —
+    mean relative token frequency in parts-per-million (high = stock
+    phrasing, low = diverse vocabulary)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.length("text") > 0).select(
+        "source", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    per = (
+        toks.join(counts, "tok")
+        .groupBy("source")
+        .agg(F.count("*").alias("tokens"), F.sum("tok_freq").alias("zipf_mass"))
+    )
+    total = F.sum("tokens").over(W.partitionBy())
+    return (
+        per.withColumn("_total", total)
+        .selectExpr(
+            "source",
+            "tokens",
+            "zipf_mass",
+            "(1000000 * zipf_mass) DIV (tokens * _total) AS mean_tok_freq_ppm",
+        )
+        .orderBy("source")
+    )
+
+
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive

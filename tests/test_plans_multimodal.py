@@ -96,11 +96,69 @@ def test_decode_features_deterministic(spark, media_df):
     out = multimodal.decode_features(media_df).orderBy("media_id").collect()
     assert len(out) == 6
     assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in out)
+    # fake magics (truncated PNG / bare RIFF) soft-degrade to opaque
+    assert all(r["codec"] == "opaque" for r in out)
     # same payload -> same digest + features (m0 and m5)
     rows = {r["media_id"]: r for r in out}
     assert rows["m0"]["digest"] == rows["m5"]["digest"]
     assert rows["m0"]["features"] == rows["m5"]["features"]
     assert rows["m0"]["digest"] != rows["m1"]["digest"]
+
+
+# --- real codecs (pure struct/numpy, from the public format specs) -----------
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for h, w in ((13, 7), (1, 1), (8, 32)):  # odd widths exercise row padding
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    s = (np.sin(np.arange(1601) * 0.3) * 20000).astype(np.int16)  # odd len: word-align
+    got, rate = multimodal.decode_wav(multimodal.encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(got, s)
+
+
+def test_decode_payload_sniffs_and_degrades():
+    import numpy as np
+
+    img = np.full((16, 32, 3), 128, dtype=np.uint8)
+    codec, feats = multimodal.decode_payload(multimodal.encode_bmp(img))
+    assert codec == "bmp"
+    # constant-luminance image -> uniform block-mean grid at 128/255
+    assert np.allclose(feats, 128 / 255.0)
+
+    tone = (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 20000).astype(np.int16)
+    codec, feats = multimodal.decode_payload(multimodal.encode_wav(tone))
+    assert codec == "wav-pcm"
+    # a pure tone concentrates energy in one band: max band dominates
+    assert feats.max() == 1.0 and sorted(feats)[-2] < 0.9
+
+    assert multimodal.decode_payload(b"just text")[0] == "opaque"
+    # corrupt header NEVER raises — soft-degrade (skipped_reason discipline)
+    assert multimodal.decode_payload(b"BM\x00corrupt")[0] == "opaque"
+    assert multimodal.decode_payload(b"RIFFxxxxWAVE")[0] == "opaque"
+
+
+def test_decode_features_real_codecs_through_spark(spark):
+    import numpy as np
+
+    img = np.random.RandomState(1).randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    s = (np.sin(np.arange(800) * 0.2) * 15000).astype(np.int16)
+    rows = [
+        ("bmp1", "image", bytearray(multimodal.encode_bmp(img)), (8, 8, 0, "image/bmp")),
+        ("wav1", "audio", bytearray(multimodal.encode_wav(s)), (0, 0, 50, "audio/wav")),
+        ("txt1", "video", bytearray(b"opaque payload"), (0, 0, 2000, "application/octet-stream")),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["codec"] for r in multimodal.decode_features(media).collect()}
+    assert got == {"bmp1": "bmp", "wav1": "wav-pcm", "txt1": "opaque"}
 
 
 def test_frame_sample_plan(spark, media_df):

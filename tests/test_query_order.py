@@ -77,6 +77,7 @@ EXPECTED_OVERFLOW = {
     "doc_alpha_ratio_histogram",
     "doc_bottom_decile",
     "doc_probe_position_curve",
+    "doc_token_zipf_mass",
 }
 
 
