@@ -99,11 +99,25 @@ def _pages_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID over the documents table (rows-only check: the model
-    is a Python artifact, not SQL)."""
+    is a Python artifact, not SQL).
+
+    Why no oracle is possible (investigated r3): an exact oracle would
+    require predictions to be SQL-derivable.  The only candidate —
+    pred == documents.lang so the oracle checks ground-truth marginals —
+    fails empirically: the driver corpus's ``lang`` column is largely
+    DECORRELATED from its text (measured agreement 0.43 at sf0.01, 0.40
+    at sf0.1 — near the 0.2 base rate of 5 langs, vs >0.97 on the
+    planted-language fixture where text actually carries the language).
+    The SQL-checkable sibling for the token-statistics family is
+    ``doc_token_zipf_mass``."""
     from sequali_spark.functions.langid import get_model
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # small-input CPU spread (scan bytes != compute cost), capped at 8:
+    # each fresh Python worker pays import+model init — same knob as
+    # _pages_quality_labels
+    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
 
     def _batches(it):
         model = get_model()
@@ -123,10 +137,16 @@ def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by nature: the LM's hashed count tables are a Python
+    artifact and the score path is log/exp floating point — neither is
+    reproducible bit-for-bit in ANSI SQL.  ``doc_token_zipf_mass`` is
+    the integer-exact, oracle-checked surrogate for the same
+    token-commonness signal."""
     from sequali_spark.functions.perplexity import get_model
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
 
     def _batches(it):
         model = get_model()
@@ -186,6 +206,7 @@ def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
 
     def _batches(it):
         from sequali_spark.functions.kernels import compression_ratios

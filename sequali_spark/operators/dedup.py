@@ -54,6 +54,8 @@ def fingerprint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sequali_spark.session import spread_for_python as _spread_for_python
+
 # cache registry: each operator family keeps at most ONE persisted
 # intermediate alive; the next invocation releases the previous one so
 # long sessions (bench, notebooks) don't accumulate pinned blocks
@@ -141,7 +143,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+    return _spread_for_python(docs.select(id_col, text_col)).mapInPandas(
+        _batches, schema=schema
+    )
 
 
 def collapse_exact_reps(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -362,7 +366,11 @@ def simhash_near_dup_pairs(
     # the shared collapse_exact_reps window over the ~50 B/doc
     # fingerprint frame — the text column never shuffles
     fps = (
-        collapse_exact_reps(d.select("doc_id", "text").mapInPandas(_batches, schema=schema))
+        collapse_exact_reps(
+            _spread_for_python(d.select("doc_id", "text")).mapInPandas(
+                _batches, schema=schema
+            )
+        )
         .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
         .persist()
     )
@@ -641,7 +649,9 @@ def winnow_overlap_pairs(
                     fps.append(int(fp))
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
-    posts = d.select("doc_id", "text").mapInPandas(_batches, schema=schema)
+    posts = _spread_for_python(d.select("doc_id", "text")).mapInPandas(
+        _batches, schema=schema
+    )
     if max_postings:
         # one shuffle on fp that the self-join below reuses; buckets
         # above the cap never reach the join

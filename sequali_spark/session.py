@@ -45,3 +45,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_for_python(df):
+    """CPU-spread guard for Python (mapInPandas) stages: scan bytes !=
+    compute cost, so a small-but-CPU-heavy input can arrive as a single
+    scan split (sf0.1 documents is ONE 584 KB split) and starve the
+    Arrow stage down to one core.  Repartition to session parallelism
+    ONLY when the scan under-decomposes — at production scale row-group
+    splits exceed cores and this is a no-op, so the payload column never
+    shuffles on the scale path.  (Same discipline as the 4 MB
+    maxPartitionBytes knob for the label pipeline: partition by compute,
+    not bytes, when the stage is UDF-bound.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

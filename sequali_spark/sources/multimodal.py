@@ -213,7 +213,11 @@ def decode_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(_batches, schema=schema)
+    from sequali_spark.session import spread_for_python
+
+    return spread_for_python(media.select("media_id", "kind", "payload")).mapInPandas(
+        _batches, schema=schema
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
