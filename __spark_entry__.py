@@ -82,12 +82,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def _pages_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.pipeline import quality_pipeline
 
+    from sequali_spark.session import spread_for_python
+
     pages = _pages_from_documents(spark, sf_dir)
-    # small parquet inputs arrive as 1-2 splits; spread the CPU-bound
-    # metric stage over a few workers (scan bytes != compute cost), but
-    # not over every core: each fresh Python worker pays import+model
-    # init, which dominates a 5k-doc input
-    pages = pages.repartition(min(8, spark.sparkContext.defaultParallelism))
+    # conditional small-input spread (scan bytes != compute cost; no-op
+    # when the scan already decomposes), capped at 8: each fresh Python
+    # worker pays import+model init, which dominates a 5k-doc input
+    pages = spread_for_python(pages, cap=8)
     # prune INSIDE the Arrow stage: Catalyst can't push a projection
     # through mapInPandas, so declare the 5 sunk columns explicitly —
     # shipping the full 30-column metric struct (incl. scrubbed_text)
@@ -113,11 +114,13 @@ def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.functions.langid import get_model
     import pandas as pd
 
+    from sequali_spark.session import spread_for_python
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    # small-input CPU spread (scan bytes != compute cost), capped at 8:
-    # each fresh Python worker pays import+model init — same knob as
-    # _pages_quality_labels
-    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
+    # conditional small-input CPU spread (no-op when the scan already
+    # decomposes — never coalesces a big corpus), capped at 8: each
+    # fresh Python worker pays import+model init
+    docs = spread_for_python(docs, cap=8)
 
     def _batches(it):
         model = get_model()
@@ -145,8 +148,10 @@ def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.functions.perplexity import get_model
     import pandas as pd
 
+    from sequali_spark.session import spread_for_python
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
+    docs = spread_for_python(docs, cap=8)
 
     def _batches(it):
         model = get_model()
@@ -205,8 +210,10 @@ def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal; rows-only — the kernel is Python-side)."""
     import pandas as pd
 
+    from sequali_spark.session import spread_for_python
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    docs = docs.repartition(min(8, spark.sparkContext.defaultParallelism))
+    docs = spread_for_python(docs, cap=8)
 
     def _batches(it):
         from sequali_spark.functions.kernels import compression_ratios
@@ -263,8 +270,10 @@ def _pages_labels_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame
     the behavior under test)."""
     from sequali_spark.pipeline import quality_pipeline
 
+    from sequali_spark.session import spread_for_python
+
     pages = _pages_from_documents(spark, sf_dir).drop("html", "lang")
-    pages = pages.repartition(min(8, spark.sparkContext.defaultParallelism))
+    pages = spread_for_python(pages, cap=8)
     out_cols = ["url", "lang_pred", "keep", "html_utf8"]
     m = quality_pipeline(spark, pages, repartition=False, output_columns=out_cols)
     return m.select(*out_cols).orderBy("url")
@@ -827,16 +836,26 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT source, unnest(string_split(text, ' ')) AS tok
               FROM documents WHERE length(text) > 0
-            ), counts AS (
-              SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
+            ), per_src AS (
+              SELECT source, tok, count(*) AS src_cnt FROM toks GROUP BY 1, 2
+            ), gcounts AS (
+              SELECT tok, CAST(sum(src_cnt) AS BIGINT) AS g_cnt
+              FROM per_src GROUP BY tok
             ), per AS (
-              SELECT t.source, count(*) AS tokens,
-                     CAST(sum(c.tok_freq) AS BIGINT) AS zipf_mass
-              FROM toks t JOIN counts c USING (tok) GROUP BY t.source
+              SELECT p.source, CAST(sum(p.src_cnt) AS BIGINT) AS tokens,
+                     sum(CAST(p.src_cnt AS DECIMAL(19,0)) * CAST(g.g_cnt AS DECIMAL(19,0))) AS mass_dec
+              FROM per_src p JOIN gcounts g USING (tok) GROUP BY p.source
+            ), tot AS (
+              SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS _total FROM per
             )
-            SELECT source, tokens, zipf_mass,
-                   CAST((1000000 * zipf_mass) // (tokens * (SELECT sum(tokens) FROM per)) AS BIGINT) AS mean_tok_freq_ppm
-            FROM per ORDER BY source
+            SELECT source, tokens,
+                   CASE WHEN mass_dec <= 9223372036854775807
+                        THEN CAST(mass_dec AS BIGINT) END AS zipf_mass,
+                   CASE WHEN CAST(tokens AS DECIMAL(19,0)) * CAST(_total AS DECIMAL(19,0)) <= 9223372036854775807
+                         AND mass_dec <= 9223372036854
+                        THEN CAST((1000000 * CAST(mass_dec AS BIGINT)) // (tokens * _total) AS BIGINT)
+                   END AS mean_tok_freq_ppm
+            FROM tot ORDER BY source
         """,
         "doc_type_token_ratio": """
             WITH toks AS (

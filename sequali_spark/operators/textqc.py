@@ -532,40 +532,67 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_I64_MAX = 9223372036854775807
+
+
 def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram-frequency mass: for every token occurrence,
-    the corpus-wide frequency of that token, summed per source — the
-    integer-exact, SQL-checkable surrogate for the unigram-LM score
+    the corpus-wide frequency of that token, summed per source
+    (equivalently sum over the vocabulary of src_count * global_count) —
+    the integer-exact, SQL-checkable surrogate for the unigram-LM score
     (functions/perplexity.py scores -mean log p(token); this scores
     mean corpus frequency, the same commonness signal without log/exp
     float drift, so it can be value-hashed against an ANSI oracle).
 
-    Plan shape: explode tokens once -> self-aggregate the vocabulary ->
-    join occurrences back to their global counts -> per-source rollup.
-    Two shuffles on the token (vocab agg + join-back), both on a hashed
-    key that distributes uniformly; the final rollup is tiny.
-    ``mean_tok_freq_ppm`` = floor(1e6 * mass / (tokens * total_tokens)),
-    pure integer division on both engines (Spark DIV / DuckDB //) —
+    Plan shape: ONE explode + one shuffle on (source, tok); the global
+    counts come from re-aggregating the (source, tok) frame, so the
+    frequency join is VOCABULARY-sized, never occurrence-sized, and the
+    corpus text is scanned exactly once.
+
+    ``mean_tok_freq_ppm`` = floor(1e6 * mass / (tokens * total_tokens)):
     mean relative token frequency in parts-per-million (high = stock
-    phrasing, low = diverse vocabulary)."""
+    phrasing, low = diverse vocabulary), pure integer division on both
+    engines (Spark DIV / DuckDB //).
+
+    Overflow discipline (no silent wrap): the mass accumulates in
+    DECIMAL(38,0); emitted int64 columns NULL out — identically on both
+    engines — when the exact value leaves the int64 domain
+    (mass > 2^63-1 for zipf_mass; mass > (2^63-1)/1e6 or
+    tokens*total > 2^63-1 for the ppm).  Spark's non-ANSI int64 would
+    otherwise wrap silently while DuckDB raises; NULL is the one
+    cross-engine-identical loud answer.  At corpus scales beyond the
+    guard, compute per shard or read the decimal-domain mass off the
+    internal aggregate."""
     d = load(spark, sf_dir, "documents")
     toks = d.filter(F.length("text") > 0).select(
         "source", F.explode(F.split("text", " ", -1)).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("src_cnt"))
+    glob = per_src.groupBy("tok").agg(F.sum("src_cnt").alias("g_cnt"))
     per = (
-        toks.join(counts, "tok")
+        per_src.join(glob, "tok")
         .groupBy("source")
-        .agg(F.count("*").alias("tokens"), F.sum("tok_freq").alias("zipf_mass"))
+        .agg(
+            F.sum("src_cnt").alias("tokens"),
+            F.sum(
+                F.col("src_cnt").cast("decimal(19,0)") * F.col("g_cnt").cast("decimal(19,0)")
+            ).alias("mass_dec"),
+        )
     )
     total = F.sum("tokens").over(W.partitionBy())
+    marked = per.withColumn("_total", total)
+    mass_ok = F.col("mass_dec") <= F.lit(_I64_MAX)
+    ppm_ok = (
+        F.col("tokens").cast("decimal(19,0)") * F.col("_total").cast("decimal(19,0)")
+        <= F.lit(_I64_MAX)
+    ) & (F.col("mass_dec") <= F.lit(_I64_MAX // 1000000))
+    ppm = F.expr("(1000000 * CAST(mass_dec AS BIGINT)) DIV (tokens * _total)")
     return (
-        per.withColumn("_total", total)
-        .selectExpr(
+        marked.select(
             "source",
             "tokens",
-            "zipf_mass",
-            "(1000000 * zipf_mass) DIV (tokens * _total) AS mean_tok_freq_ppm",
+            F.when(mass_ok, F.col("mass_dec").cast("long")).alias("zipf_mass"),
+            F.when(ppm_ok, ppm).alias("mean_tok_freq_ppm"),
         )
         .orderBy("source")
     )

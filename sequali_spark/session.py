@@ -47,17 +47,22 @@ def get_spark(
     return spark
 
 
-def spread_for_python(df):
+def spread_for_python(df, cap: int | None = None):
     """CPU-spread guard for Python (mapInPandas) stages: scan bytes !=
     compute cost, so a small-but-CPU-heavy input can arrive as a single
     scan split (sf0.1 documents is ONE 584 KB split) and starve the
-    Arrow stage down to one core.  Repartition to session parallelism
-    ONLY when the scan under-decomposes — at production scale row-group
-    splits exceed cores and this is a no-op, so the payload column never
-    shuffles on the scale path.  (Same discipline as the 4 MB
+    Arrow stage down to one core.  Repartition to min(cap, session
+    parallelism) ONLY when the scan under-decomposes — at production
+    scale row-group splits exceed cores and this is a no-op, so the
+    payload column never shuffles on the scale path.  ``cap`` bounds the
+    spread for stages whose fresh Python workers pay a model-load cost
+    (each new worker imports + initializes the model; on a small input
+    that setup dominates).  (Same discipline as the 4 MB
     maxPartitionBytes knob for the label pipeline: partition by compute,
     not bytes, when the stage is UDF-bound.)"""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if cap is not None:
+        target = min(cap, target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -177,12 +177,17 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "wav-pcm", audio_features(samples)
-        if HAVE_PIL and payload[:8] in (b"\x89PNG\r\n\x1a\n",):
+        if HAVE_PIL and (
+            payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff"
+        ):
             import io
 
             img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
             return "pil", image_features(img)
-    except (ValueError, struct.error):
+    # OSError covers PIL's UnidentifiedImageError (its subclass) and
+    # truncated-file reads — a corrupt payload must NEVER fail the
+    # batch, only degrade this row to the opaque path
+    except (ValueError, struct.error, OSError):
         pass  # corrupt header -> opaque fallback below
     return "opaque", _opaque_features(payload)
 
