@@ -180,6 +180,22 @@ def test_media_exact_dedup(spark, media_df):
     assert all(r["n_copies"] == 2 for r in dups)
 
 
+def test_spread_for_python_is_conditional(spark):
+    """spread_for_python must fix scan under-decomposition WITHOUT ever
+    coalescing an already-decomposed input (the at-scale hazard: an
+    unconditional repartition(8) would funnel a many-split corpus onto
+    8 tasks)."""
+    from sequali_spark.session import spread_for_python
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert spread_for_python(one).rdd.getNumPartitions() == par
+    assert spread_for_python(one, cap=4).rdd.getNumPartitions() == min(4, par)
+    many = spark.range(1000).repartition(par * 2)
+    assert spread_for_python(many).rdd.getNumPartitions() == par * 2
+    assert spread_for_python(many, cap=4).rdd.getNumPartitions() == par * 2
+
+
 def test_multiprobe_lsh_broadcasts_probe_side(spark, sf_dir):
     """The probe set (queries x probe buckets) must be the broadcast
     side of the candidate join — the corpus side streams."""
