@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_probe_position_curve": textqc.probe_position_curve,
         "doc_token_zipf_mass": textqc.token_zipf_mass,
+        "doc_decontaminate": textqc.benchmark_decontaminate,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -856,6 +857,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST((1000000 * CAST(mass_dec AS BIGINT)) // (tokens * _total) AS BIGINT)
                    END AS mean_tok_freq_ppm
             FROM tot ORDER BY source
+        """,
+        "doc_decontaminate": """
+            WITH probes AS (
+              SELECT doc_id AS probe_doc, substr(text, 1, 16) AS probe
+              FROM documents WHERE n_chars >= 200 ORDER BY doc_id LIMIT 20
+            )
+            SELECT p.probe_doc, p.probe, count(*) AS contaminated_docs,
+                   min(d.doc_id) AS first_doc
+            FROM probes p JOIN documents d
+              ON d.doc_id <> p.probe_doc AND contains(d.text, p.probe)
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "doc_type_token_ratio": """
             WITH toks AS (

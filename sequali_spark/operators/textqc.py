@@ -598,6 +598,52 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benchmark_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 20,
+    probe_len: int = 16,
+    min_chars: int = 200,
+) -> DataFrame:
+    """Test-set decontamination: flag documents containing a probe
+    string from a benchmark set — the training-pipeline op that keeps
+    eval data out of the corpus (the exact-substring tier of the
+    n-gram-overlap decontamination used for LLM corpora; the reference
+    analogue is the contaminant/adapter broadcast search, J2/A6).
+
+    The probe set here is derived deterministically from the corpus
+    itself (first ``n_probes`` doc prefixes) so the operator needs no
+    external data; a real run substitutes its benchmark suite.  Plan:
+    probes BROADCAST to a contains() theta-join over the corpus — the
+    right plan while the probe set is small (benchmarks are KBs-MBs).
+    For probe sets too large to broadcast, the scale path is the
+    winnow-fingerprint equi-join (dedup.winnow_overlap_pairs): any
+    shared passage of length >= w+k-1 guarantees a shared fingerprint,
+    turning decontamination into a hash join."""
+    d = load(spark, sf_dir, "documents")
+    probes = (
+        d.filter(F.col("n_chars") >= min_chars)
+        .orderBy("doc_id")
+        .limit(n_probes)
+        .select(
+            F.col("doc_id").alias("probe_doc"),
+            F.substring("text", 1, probe_len).alias("probe"),
+        )
+    )
+    hits = d.join(
+        F.broadcast(probes),
+        (F.col("doc_id") != F.col("probe_doc")) & F.col("text").contains(F.col("probe")),
+    )
+    return (
+        hits.groupBy("probe_doc", "probe")
+        .agg(
+            F.count("*").alias("contaminated_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("probe_doc")
+    )
+
+
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive

@@ -244,6 +244,7 @@ def test_no_query_has_cartesian_or_rowwise_python(spark, sf_dir):
         "emb_brute_force_topk",  # query side broadcast, corpus streams
         "emb_knn_label_vote",    # built on brute_force_topk
         "doc_boilerplate_id",    # 3-row boilerplate DB, contains() theta join (J2)
+        "doc_decontaminate",     # 20-row probe set broadcast, contains() theta join
     }
     for name, fn in entry.queries().items():
         plan = checks.physical_plan(fn(spark, sf_dir))

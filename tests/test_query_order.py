@@ -78,6 +78,7 @@ EXPECTED_OVERFLOW = {
     "doc_bottom_decile",
     "doc_probe_position_curve",
     "doc_token_zipf_mass",
+    "doc_decontaminate",
 }
 
 
