@@ -105,6 +105,41 @@ def test_no_dangling_oracles():
     assert not set(entry_mod.oracle_sql()) - set(entry_mod.queries())
 
 
+def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
+    """Whitespace-only and single-token docs exercise the split
+    semantics (consecutive spaces yield EMPTY tokens, counted by both
+    engines identically) — the cross-engine edge the sf corpora don't
+    contain."""
+    import duckdb
+
+    d = tmp_path / "zipf"
+    spark.createDataFrame(
+        [(0, "a a b", "s1", 5), (1, "   ", "s1", 3), (2, "", "s2", 0), (3, "b", "s2", 1)],
+        schema="doc_id long, text string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    from sequali_spark.operators.textqc import token_zipf_mass
+
+    got = {
+        r["source"]: (r["tokens"], r["zipf_mass"], r["mean_tok_freq_ppm"])
+        for r in token_zipf_mass(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    # Spark writes a part-file directory; duckdb needs the glob
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(entry_mod.oracle_sql()["doc_token_zipf_mass"]).fetchall()
+    }
+    assert got == oracle
+    # hand-check: s1 = [a,a,b] + 4 empty tokens; s2 = [b]
+    assert got["s1"][0] == 7 and got["s2"][0] == 1
+    # mass(s2) = freq_global(b) = 2
+    assert got["s2"][1] == 2
+
+
 def test_windowed_queries_emit_integer_domains_only(spark, sf_dir):
     """The r1/r2 hash-fail class: DECIMAL (and fractional DOUBLE/FLOAT)
     output columns hash differently across engine bindings even when the
