@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_probe_position_curve": textqc.probe_position_curve,
         "doc_token_zipf_mass": textqc.token_zipf_mass,
         "doc_decontaminate": textqc.benchmark_decontaminate,
+        "rel_region_revenue": relational.region_revenue,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -1021,6 +1022,19 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "rel_region_revenue": """
+            SELECT n_name,
+                   CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,12)) * 100) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name
         """,
         "rel_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -117,6 +117,38 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-style six-table join: local-supplier revenue per nation
+    within a region and date window — the deep star-join shape (two
+    co-shuffled facts, four broadcast dims; Catalyst orders the join
+    tree, AQE re-plans at runtime).  Revenue emitted as BIGINT cents."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # "local supplier": the customer's nation == the supplier's nation
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == region)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(_cents12(revenue).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
 def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join: classify events into value bands via a
     broadcast BETWEEN join — the theta-join shape (Catalyst picks

@@ -79,6 +79,7 @@ EXPECTED_OVERFLOW = {
     "doc_probe_position_curve",
     "doc_token_zipf_mass",
     "doc_decontaminate",
+    "rel_region_revenue",
 }
 
 
