@@ -149,3 +149,43 @@ def test_hash_tokens_fast_path_matches_when_nul_free(toks):
     got = kernels.hash_tokens(nul_free, assume_no_nul=True)
     exp = np.array([zlib.crc32(t.encode("utf-8")) for t in nul_free], dtype=np.uint64)
     assert got.shape == exp.shape and (got == exp).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """encode_bmp/decode_bmp are exact inverses for any HxWx3 uint8
+    image — including the odd widths that exercise 4-byte row padding."""
+    import numpy as np
+
+    from sequali_spark.sources import multimodal
+
+    img = np.random.RandomState(seed % 2**31).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+
+
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_property(n, seed, rate):
+    """encode_wav/decode_wav are exact inverses for any int16 sample
+    array (odd lengths exercise RIFF word-alignment), preserving rate."""
+    import numpy as np
+
+    from sequali_spark.sources import multimodal
+
+    s = (
+        np.random.RandomState(seed % 2**31)
+        .randint(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    got, got_rate = multimodal.decode_wav(multimodal.encode_wav(s, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, s)
