@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""spark-submit entry point for end-to-end corpus CURATION over a
+documents table: compose the quality gates, exact+near dedup keepers,
+and test-set decontamination into one curated output — the workflow a
+training-data pipeline actually runs (filter -> dedup -> decontaminate
+-> write), built entirely from the engine's existing operators.
+
+    spark-submit --py-files dist/sequali_spark.zip jobs/run_curation.py \\
+      --input  <dir with documents.parquet>  \\
+      --output <curated parquet dir> [--stats stats.json] \\
+      [--dedup-threshold 0.8] [--min-gates 4]
+
+Drop precedence (each doc gets ONE drop_reason, checked in this order):
+  quality        fewer than --min-gates heuristic gates passed
+  duplicate      non-keeper of an exact/near dup cluster (dedup_keepers)
+  contaminated   contains a benchmark probe (decontamination_hits)
+
+Stats JSON reconciles exactly: kept + dropped_* == input docs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    dedup_threshold: float = 0.8,
+    min_gates: int = 4,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """documents + per-doc drop decision: (doc_id, source, n_chars,
+    keep, drop_reason).  One scan feeds the gate battery; the dedup and
+    decontamination passes join back on doc_id only (never re-shuffling
+    text).  ``probes`` is the benchmark table (probe_doc, probe) for
+    decontamination; default = the corpus-derived demo set."""
+    from sequali_spark.operators import dedup, textqc
+
+    docs = textqc.load(spark, sf_dir, "documents")
+
+    gates = textqc.quality_score(spark, sf_dir).select(
+        "doc_id", "gates_passed"
+    )
+    dup_losers = (
+        dedup.dedup_keepers(spark, sf_dir, threshold=dedup_threshold)
+        .filter(~F.col("keep_doc"))
+        .select("doc_id", F.lit(True).alias("_is_dup"))
+    )
+    contaminated = (
+        textqc.decontamination_hits(docs, probes=probes)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_is_contaminated", F.lit(True))
+    )
+
+    labeled = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(gates, "doc_id", "left")
+        .join(dup_losers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    drop_reason = (
+        F.when(F.coalesce("gates_passed", F.lit(0)) < min_gates, "quality")
+        .when(F.col("_is_dup"), "duplicate")
+        .when(F.col("_is_contaminated"), "contaminated")
+    )
+    return labeled.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("keep"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--stats", default=None)
+    ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument("--min-gates", type=int, default=4)
+    ap.add_argument(
+        "--probes", default=None,
+        help="parquet of (probe_doc, probe) benchmark strings; default derives a demo set from the corpus",
+    )
+    args = ap.parse_args()
+
+    from sequali_spark.operators import textqc
+    from sequali_spark.session import get_spark
+
+    spark = get_spark(app_name="sequali_curation")
+    probes = spark.read.parquet(args.probes) if args.probes else None
+    decisions = curate(
+        spark,
+        args.input,
+        dedup_threshold=args.dedup_threshold,
+        min_gates=args.min_gates,
+        probes=probes,
+    ).persist()
+
+    docs = textqc.load(spark, args.input, "documents")
+    curated = docs.join(
+        decisions.filter("keep").select("doc_id"), "doc_id"
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+
+    stats_rows = decisions.groupBy("drop_reason").agg(F.count("*").alias("docs")).collect()
+    stats = {
+        "input_docs": sum(r["docs"] for r in stats_rows),
+        "kept": next((r["docs"] for r in stats_rows if r["drop_reason"] is None), 0),
+        "dropped": {
+            r["drop_reason"]: r["docs"] for r in stats_rows if r["drop_reason"] is not None
+        },
+    }
+    decisions.unpersist()
+    if args.stats:
+        with open(args.stats, "w") as f:
+            json.dump(stats, f, indent=0, sort_keys=True)
+    print(json.dumps(stats, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -620,19 +620,11 @@ def benchmark_decontaminate(
     winnow-fingerprint equi-join (dedup.winnow_overlap_pairs): any
     shared passage of length >= w+k-1 guarantees a shared fingerprint,
     turning decontamination into a hash join."""
-    d = load(spark, sf_dir, "documents")
-    probes = (
-        d.filter(F.col("n_chars") >= min_chars)
-        .orderBy("doc_id")
-        .limit(n_probes)
-        .select(
-            F.col("doc_id").alias("probe_doc"),
-            F.substring("text", 1, probe_len).alias("probe"),
-        )
-    )
-    hits = d.join(
-        F.broadcast(probes),
-        (F.col("doc_id") != F.col("probe_doc")) & F.col("text").contains(F.col("probe")),
+    hits = decontamination_hits(
+        load(spark, sf_dir, "documents"),
+        n_probes=n_probes,
+        probe_len=probe_len,
+        min_chars=min_chars,
     )
     return (
         hits.groupBy("probe_doc", "probe")
@@ -641,6 +633,33 @@ def benchmark_decontaminate(
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("probe_doc")
+    )
+
+
+def decontamination_hits(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    n_probes: int = 20,
+    probe_len: int = 16,
+    min_chars: int = 200,
+) -> DataFrame:
+    """Doc-level contamination hits: (doc_id, probe_doc, probe) for
+    every document containing a probe string.  ``probes`` defaults to
+    the corpus-derived set (see benchmark_decontaminate); pass a real
+    benchmark table (probe_doc, probe) in production."""
+    if probes is None:
+        probes = (
+            docs.filter(F.col("n_chars") >= min_chars)
+            .orderBy("doc_id")
+            .limit(n_probes)
+            .select(
+                F.col("doc_id").alias("probe_doc"),
+                F.substring("text", 1, probe_len).alias("probe"),
+            )
+        )
+    return docs.join(
+        F.broadcast(probes),
+        (F.col("doc_id") != F.col("probe_doc")) & F.col("text").contains(F.col("probe")),
     )
 
 

@@ -75,6 +75,76 @@ def test_resumable_job_cli(spark, pages_tiny, tmp_path):
     assert spark.read.parquet(out).count() == len(pages_tiny)
 
 
+def test_curation_job_cli(spark, sf_dir, tmp_path):
+    """End-to-end curation over the driver's documents table: quality
+    gates + dedup keepers + decontamination composed into one curated
+    output whose stats reconcile exactly (kept + dropped == input)."""
+    out = str(tmp_path / "curated")
+    stats_path = str(tmp_path / "stats.json")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", sf_dir, "--output", out, "--stats", stats_path,
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.load(open(stats_path))
+    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert stats["input_docs"] == n_in
+    assert stats["kept"] + sum(stats["dropped"].values()) == n_in
+    # every drop bucket the corpus actually triggers is attributed
+    assert stats["kept"] > 0 and stats["dropped"].get("quality", 0) > 0
+    curated = spark.read.parquet(out)
+    assert curated.count() == stats["kept"]
+    # curated docs are unique and carry the full document schema
+    assert curated.select("doc_id").distinct().count() == stats["kept"]
+    assert "text" in curated.columns
+
+
+def test_curation_drop_precedence(spark, tmp_path):
+    """A doc that is BOTH low-quality and a duplicate is attributed to
+    'quality' (the documented precedence); exact dup clusters keep one
+    member."""
+    import pandas as pd
+
+    from jobs.run_curation import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "with many more plain english words about data systems " * 3
+    )
+    marker = "zqx benchmark marker zqx"
+    rows = [
+        (0, good, "s1"), (1, good, "s1"),           # dup pair, good quality
+        (2, "tiny", "s1"), (3, "tiny", "s2"),       # dup pair, bad quality
+        # unique long text (NOT a near-dup of `good`) carrying the probe
+        (4, "completely separate prose on weather patterns and ocean currents " * 5 + marker, "s2"),
+        (5, "a different long enough clean document " * 8, "s2"),  # unique, good
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "cur"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    probes = spark.createDataFrame(
+        [(999, marker)], schema="probe_doc long, probe string"
+    )
+
+    got = {r["doc_id"]: r for r in curate(spark, str(d), probes=probes).collect()}
+    assert got[0]["keep"] and got[0]["drop_reason"] is None
+    assert got[1]["drop_reason"] == "duplicate"
+    # bad-quality dups attribute to quality, not duplicate (precedence)
+    assert got[2]["drop_reason"] == "quality"
+    assert got[3]["drop_reason"] == "quality"
+    assert got[4]["drop_reason"] == "contaminated"
+    assert got[5]["keep"]
+
+
 def test_report_mode_rerenders_without_recompute(spark, tmp_path):
     """K4: --mode report reads a SAVED labels table and re-renders the
     JSON report; blocks soft-degrade to the columns present."""
