@@ -33,21 +33,25 @@ def curate(
     dedup_threshold: float = 0.8,
     min_gates: int = 4,
     probes: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """documents + per-doc drop decision: (doc_id, source, n_chars,
-    keep, drop_reason).  One scan feeds the gate battery; the dedup and
-    decontamination passes join back on doc_id only (never re-shuffling
-    text).  ``probes`` is the benchmark table (probe_doc, probe) for
-    decontamination; default = the corpus-derived demo set."""
+    keep, drop_reason).  All three passes (gate battery, dedup sketch,
+    decontamination) read the SAME docs frame — pass a persisted one to
+    share a single materialized scan — and join back on doc_id only
+    (never re-shuffling text).  ``probes`` is the benchmark table
+    (probe_doc, probe) for decontamination; default = the corpus-derived
+    demo set."""
     from sequali_spark.operators import dedup, textqc
 
-    docs = textqc.load(spark, sf_dir, "documents")
+    if docs is None:
+        docs = textqc.load(spark, sf_dir, "documents")
 
-    gates = textqc.quality_score(spark, sf_dir).select(
+    gates = textqc.quality_score(spark, sf_dir, docs=docs).select(
         "doc_id", "gates_passed"
     )
     dup_losers = (
-        dedup.dedup_keepers(spark, sf_dir, threshold=dedup_threshold)
+        dedup.dedup_keepers(spark, sf_dir, threshold=dedup_threshold, docs=docs)
         .filter(~F.col("keep_doc"))
         .select("doc_id", F.lit(True).alias("_is_dup"))
     )
@@ -95,16 +99,27 @@ def main() -> None:
     from sequali_spark.session import get_spark
 
     spark = get_spark(app_name="sequali_curation")
-    probes = spark.read.parquet(args.probes) if args.probes else None
+    probes = None
+    if args.probes:
+        # project + type-pin the external benchmark table: extra columns
+        # would make the theta-join's doc_id/text references ambiguous,
+        # and a string probe_doc would null out the id comparison
+        probes = spark.read.parquet(args.probes).select(
+            F.col("probe_doc").cast("long").alias("probe_doc"),
+            F.col("probe").cast("string").alias("probe"),
+        )
+    # ONE materialized scan shared by the gate battery, the dedup
+    # sketch pass, the decontamination join, and the final output join
+    docs = textqc.load(spark, args.input, "documents").persist()
     decisions = curate(
         spark,
         args.input,
         dedup_threshold=args.dedup_threshold,
         min_gates=args.min_gates,
         probes=probes,
+        docs=docs,
     ).persist()
 
-    docs = textqc.load(spark, args.input, "documents")
     curated = docs.join(
         decisions.filter("keep").select("doc_id"), "doc_id"
     )
@@ -119,6 +134,7 @@ def main() -> None:
         },
     }
     decisions.unpersist()
+    docs.unpersist()
     if args.stats:
         with open(args.stats, "w") as f:
             json.dump(stats, f, indent=0, sort_keys=True)

@@ -574,7 +574,12 @@ def connected_components(
         edges.unpersist()
 
 
-def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+def dedup_keepers(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """End-to-end dedup decision: exact dedup first (collapse identical
     texts to a representative), MinHash-LSH over the representatives,
     connected components, then fold exact-dup members back into their
@@ -583,8 +588,10 @@ def dedup_keepers(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
 
     The exact-first composition is what makes this scale-safe: D
     byte-identical docs cost one groupBy here instead of D^2 LSH
-    candidates (VERDICT r1 scale-killer #4)."""
-    docs = load(spark, sf_dir, "documents")
+    candidates (VERDICT r1 scale-killer #4).  ``docs`` lets a caller
+    (jobs/run_curation.py) share one scan across operators."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     _release_prior_cache("keepers")
     labeled = exact_rep_labeled_sigs(docs).persist()
     _CACHED["keepers"] = labeled

@@ -119,9 +119,12 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
     """TPC-H Q5-style six-table join: local-supplier revenue per nation
-    within a region and date window — the deep star-join shape (two
-    co-shuffled facts, four broadcast dims; Catalyst orders the join
-    tree, AQE re-plans at runtime).  Revenue emitted as BIGINT cents."""
+    within a region and date window — the deep star-join shape.
+    lineitem/orders/customer/supplier co-shuffle (supplier scales with
+    SF, so it gets NO broadcast hint — AQE picks broadcast while it fits
+    and degrades to shuffle join at scale); nation/region are true
+    fixed-size dims and broadcast explicitly.  Revenue emitted as BIGINT
+    cents."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -134,7 +137,7 @@ def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> Da
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         # "local supplier": the customer's nation == the supplier's nation
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)

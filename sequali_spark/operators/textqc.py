@@ -153,11 +153,14 @@ def stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Composite keep/drop decision in pure SQL — the whole rule battery
     collapsed to one deterministic integer score (keep iff all gates pass),
-    the SQL twin of the pipeline's keep column."""
-    d = load(spark, sf_dir, "documents")
+    the SQL twin of the pipeline's keep column.  ``docs`` lets a caller
+    (jobs/run_curation.py) share one scan across operators."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     n = F.length("text")
     spaces = _count_class("[ ]")
     n_words = spaces + 1
@@ -598,12 +601,20 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus-derived demo probe-set parameters — the oracle SQL for
+# doc_decontaminate hardcodes the same three literals (LIMIT 20,
+# substr(..., 1, 16), n_chars >= 200); change them TOGETHER
+DECON_N_PROBES = 20
+DECON_PROBE_LEN = 16
+DECON_MIN_CHARS = 200
+
+
 def benchmark_decontaminate(
     spark: SparkSession,
     sf_dir: str,
-    n_probes: int = 20,
-    probe_len: int = 16,
-    min_chars: int = 200,
+    n_probes: int = DECON_N_PROBES,
+    probe_len: int = DECON_PROBE_LEN,
+    min_chars: int = DECON_MIN_CHARS,
 ) -> DataFrame:
     """Test-set decontamination: flag documents containing a probe
     string from a benchmark set — the training-pipeline op that keeps
@@ -639,15 +650,23 @@ def benchmark_decontaminate(
 def decontamination_hits(
     docs: DataFrame,
     probes: DataFrame | None = None,
-    n_probes: int = 20,
-    probe_len: int = 16,
-    min_chars: int = 200,
+    n_probes: int = DECON_N_PROBES,
+    probe_len: int = DECON_PROBE_LEN,
+    min_chars: int = DECON_MIN_CHARS,
 ) -> DataFrame:
     """Doc-level contamination hits: (doc_id, probe_doc, probe) for
     every document containing a probe string.  ``probes`` defaults to
     the corpus-derived set (see benchmark_decontaminate); pass a real
-    benchmark table (probe_doc, probe) in production."""
-    if probes is None:
+    benchmark table (probe_doc, probe) in production.
+
+    The doc_id != probe_doc self-exclusion applies ONLY to the
+    corpus-derived default (where probe_doc IS a corpus doc_id and every
+    probe trivially matches its own source doc).  An external benchmark
+    table's probe_doc values live in a different id space — excluding a
+    corpus doc whose id happens to collide with a benchmark id would
+    silently keep a contaminated document."""
+    self_derived = probes is None
+    if self_derived:
         probes = (
             docs.filter(F.col("n_chars") >= min_chars)
             .orderBy("doc_id")
@@ -657,10 +676,10 @@ def decontamination_hits(
                 F.substring("text", 1, probe_len).alias("probe"),
             )
         )
-    return docs.join(
-        F.broadcast(probes),
-        (F.col("doc_id") != F.col("probe_doc")) & F.col("text").contains(F.col("probe")),
-    )
+    cond = F.col("text").contains(F.col("probe"))
+    if self_derived:
+        cond = (F.col("doc_id") != F.col("probe_doc")) & cond
+    return docs.join(F.broadcast(probes), cond)
 
 
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,6 +106,12 @@ def test_no_dangling_oracles():
     assert not set(entry_mod.oracle_sql()) - set(entry_mod.queries())
 
 
+def test_inventory_counts_match_docs():
+    """README/COVERAGE advertise these totals; keep them honest."""
+    assert len(entry_mod.queries()) == 72
+    assert len(entry_mod.oracle_sql()) == 58
+
+
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
     """Whitespace-only and single-token docs exercise the split
     semantics (consecutive spaces yield EMPTY tokens, counted by both
