@@ -16,12 +16,22 @@ Drop precedence (each doc gets ONE drop_reason, checked in this order):
   contaminated   contains a benchmark probe (decontamination_hits)
 
 Stats JSON reconciles exactly: kept + dropped_* == input docs.
+
+Resume story: the expensive stage (the per-doc decision table — gates,
+dedup sketch+components, decontamination) is CHECKPOINTED to
+<output>_decisions; a re-invocation after a crash reuses it and only
+re-runs the cheap output join (pass --force to recompute).  The gate
+battery is per-doc and could also run under runtime.lineage day-units,
+but keeper selection and decontamination are corpus-GLOBAL joins — they
+cannot be computed per-unit without changing semantics, so the honest
+resume granularity is the stage, not the partition.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +103,10 @@ def main() -> None:
         "--probes", default=None,
         help="parquet of (probe_doc, probe) benchmark strings; default derives a demo set from the corpus",
     )
+    ap.add_argument(
+        "--force", action="store_true",
+        help="recompute the decision table even if a checkpointed one exists",
+    )
     args = ap.parse_args()
 
     from sequali_spark.operators import textqc
@@ -111,14 +125,19 @@ def main() -> None:
     # ONE materialized scan shared by the gate battery, the dedup
     # sketch pass, the decontamination join, and the final output join
     docs = textqc.load(spark, args.input, "documents").persist()
-    decisions = curate(
-        spark,
-        args.input,
-        dedup_threshold=args.dedup_threshold,
-        min_gates=args.min_gates,
-        probes=probes,
-        docs=docs,
-    ).persist()
+
+    dec_path = args.output.rstrip("/") + "_decisions"
+    resumed = (not args.force) and os.path.exists(os.path.join(dec_path, "_SUCCESS"))
+    if not resumed:
+        curate(
+            spark,
+            args.input,
+            dedup_threshold=args.dedup_threshold,
+            min_gates=args.min_gates,
+            probes=probes,
+            docs=docs,
+        ).write.mode("overwrite").parquet(dec_path)
+    decisions = spark.read.parquet(dec_path).persist()
 
     curated = docs.join(
         decisions.filter("keep").select("doc_id"), "doc_id"
@@ -132,6 +151,7 @@ def main() -> None:
         "dropped": {
             r["drop_reason"]: r["docs"] for r in stats_rows if r["drop_reason"] is not None
         },
+        "resumed_from_checkpoint": resumed,
     }
     decisions.unpersist()
     docs.unpersist()

@@ -105,6 +105,24 @@ def test_curation_job_cli(spark, sf_dir, tmp_path):
     # curated docs are unique and carry the full document schema
     assert curated.select("doc_id").distinct().count() == stats["kept"]
     assert "text" in curated.columns
+    assert stats["resumed_from_checkpoint"] is False
+
+    # crash-resume: a re-invocation reuses the checkpointed decision
+    # table (the expensive stage) and reproduces identical stats
+    stats2_path = str(tmp_path / "stats2.json")
+    proc2 = subprocess.run(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", sf_dir, "--output", out, "--stats", stats2_path,
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    stats2 = json.load(open(stats2_path))
+    assert stats2["resumed_from_checkpoint"] is True
+    assert {k: v for k, v in stats2.items() if k != "resumed_from_checkpoint"} == {
+        k: v for k, v in stats.items() if k != "resumed_from_checkpoint"
+    }
 
 
 def test_curation_drop_precedence(spark, tmp_path):
