@@ -307,11 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out in three blocks:
 
     1. entries 1-50: every oracle-backed query we want judged — all
-       rows+schema+hash checkable.  58 oracles compete for 50 slots;
-       the 8 that deliberately overflow (block 2) are redundant or
+       rows+schema+hash checkable.  59 oracles compete for 50 slots;
+       the 9 that deliberately overflow (block 2) are redundant or
        late-added siblings whose operators stay pinned by the local
        typed-Arrow mirror (tests/test_entry_parity.py).
-    2. the 8 overflow oracle-backed entries: doc_length_cumdist /
+    2. the 9 overflow oracle-backed entries: doc_length_cumdist /
        doc_log_length_histogram / doc_alpha_ratio_histogram (binning
        variants of doc_length_histogram + doc_char_ratios),
        doc_bottom_decile (percentile sibling), doc_probe_position_curve
@@ -320,7 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        doc_type_token_ratio / doc_stopword_fraction),
        doc_decontaminate (contains() theta-join sibling of
        doc_boilerplate_id), rel_region_revenue (deeper-join sibling of
-       rel_top_unshipped).
+       rel_top_unshipped), events_hourly_anomaly (integer k-sigma
+       deviation sibling of doc_per_source_deviation on the time axis).
     3. rows-only entries (no SQL oracle by nature: sketch-based dedup,
        ANN, Python model scorers, multimodal stub).
 
@@ -396,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_zipf_mass": textqc.token_zipf_mass,
         "doc_decontaminate": textqc.benchmark_decontaminate,
         "rel_region_revenue": relational.region_revenue,
+        "events_hourly_anomaly": events.hourly_anomaly,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -880,6 +882,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS tokens, count(DISTINCT tok) AS distinct_tokens,
                    CAST(floor(10000.0 * count(DISTINCT tok) / count(*)) AS BIGINT) AS ttr_bps
             FROM toks GROUP BY source ORDER BY source
+        """,
+        "events_hourly_anomaly": """
+            WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS events
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, hour, events,
+                     CAST(count(*) OVER fr AS BIGINT) AS trailing_slots,
+                     CAST(coalesce(sum(events) OVER fr, 0) AS BIGINT) AS trailing_events,
+                     CAST(coalesce(sum(events * events) OVER fr, 0) AS BIGINT) AS sq
+              FROM h
+              WINDOW fr AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, hour, events, trailing_slots, trailing_events,
+                   CASE WHEN trailing_slots >= 12 THEN
+                     CAST(CAST(trailing_slots AS DECIMAL(19,0)) * events - trailing_events AS DECIMAL(19,0))
+                       * CAST(CAST(trailing_slots AS DECIMAL(19,0)) * events - trailing_events AS DECIMAL(19,0))
+                     > CAST(9 AS DECIMAL(1,0))
+                       * CAST(CAST(trailing_slots AS DECIMAL(19,0)) * sq
+                              - CAST(trailing_events AS DECIMAL(19,0)) * trailing_events AS DECIMAL(37,0))
+                   END AS is_spike
+            FROM w ORDER BY event_type, hour
         """,
         "events_gap_stats": """
             WITH g AS (

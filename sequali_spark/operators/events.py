@@ -285,6 +285,65 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marks.groupBy("event_type").agg(*agg_cols).orderBy("event_type")
 
 
+def hourly_anomaly(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    window: int = 24,
+    min_slots: int = 12,
+) -> DataFrame:
+    """Per-(type, hour) spike detection against the trailing ``window``
+    hours — the A19 deviation-flag pattern on the time axis, as an
+    ingestion-health monitor.  The k-sigma test runs ENTIRELY in integer
+    arithmetic so both engines agree bit-for-bit: with trailing count n,
+    sum S, sum-of-squares Sq,
+
+        |x - mean| > k*sigma  <=>  (n*x - S)^2 > k^2 * (n*Sq - S^2)
+
+    (both sides multiplied by n^2) — no float mean/stddev anywhere.
+    The squares evaluate in DECIMAL(38,0); the k^2 factor is a
+    DECIMAL(1,0) literal so the product stays inside decimal width 38
+    on both engines (domain: |n*x - S| < 1e19, i.e. trailing windows of
+    hourly counts up to ~4e17 — beyond any real ingestion rate).
+    is_spike is NULL until ``min_slots`` trailing hours exist."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("events"))
+    fr = (
+        W.partitionBy("event_type").orderBy("hour").rowsBetween(-window, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "events",
+        F.count("*").over(fr).alias("trailing_slots"),
+        # sum over an EMPTY frame is NULL — pin to 0 like the oracle
+        F.coalesce(F.sum("events").over(fr), F.lit(0)).alias("trailing_events"),
+        F.coalesce(F.sum(F.col("events") * F.col("events")).over(fr), F.lit(0)).alias("_sq"),
+    )
+    d19 = "decimal(19,0)"
+    kk = k * k
+    p = len(str(kk))  # k^2 literal width; var_term shrinks to keep <=38
+    lhs = (
+        F.col("trailing_slots").cast(d19) * F.col("events").cast(d19)
+        - F.col("trailing_events").cast(d19)
+    ).cast(d19)
+    var_term = (
+        F.col("trailing_slots").cast(d19) * F.col("_sq").cast(d19)
+        - F.col("trailing_events").cast(d19) * F.col("trailing_events").cast(d19)
+    ).cast(f"decimal({38 - p},0)")
+    spike = (lhs * lhs) > (F.lit(kk).cast(f"decimal({p},0)") * var_term)
+    return stats.select(
+        "event_type",
+        "hour",
+        "events",
+        "trailing_slots",
+        "trailing_events",
+        F.when(F.col("trailing_slots") >= min_slots, spike).alias("is_spike"),
+    ).orderBy("event_type", "hour")
+
+
 def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics (lead/lag window over the
     event stream): events, mean/max gap seconds — the arrival-cadence

@@ -80,6 +80,7 @@ EXPECTED_OVERFLOW = {
     "doc_token_zipf_mass",
     "doc_decontaminate",
     "rel_region_revenue",
+    "events_hourly_anomaly",
 }
 
 
@@ -108,8 +109,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 72
-    assert len(entry_mod.oracle_sql()) == 58
+    assert len(entry_mod.queries()) == 73
+    assert len(entry_mod.oracle_sql()) == 59
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
@@ -145,6 +146,32 @@ def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
     assert got["s1"][0] == 7 and got["s2"][0] == 1
     # mass(s2) = freq_global(b) = 2
     assert got["s2"][1] == 2
+
+
+def test_hourly_anomaly_flags_planted_spike(spark, tmp_path):
+    """Steady 10 events/hour with one 120-event hour: the integer
+    k-sigma test must flag exactly the spike (constant trailing series
+    has zero variance, so steady hours give 0 > 0 = false)."""
+    import datetime
+
+    from sequali_spark.operators.events import hourly_anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(30):
+        n = 120 if h == 25 else 10
+        for i in range(n):
+            rows.append((base + datetime.timedelta(hours=h, seconds=i), "click"))
+    d = tmp_path / "ev"
+    spark.createDataFrame(rows, schema="ts timestamp, event_type string").write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {r["hour"].hour + 24 * (r["hour"].day - 1): r for r in hourly_anomaly(spark, str(d)).collect()}
+    assert got[25]["is_spike"] is True
+    # warmed-up steady hours before the spike are NOT flagged
+    assert all(got[h]["is_spike"] is False for h in range(12, 25))
+    # pre-warmup hours are NULL (insufficient trailing slots)
+    assert got[5]["is_spike"] is None
 
 
 def test_windowed_queries_emit_integer_domains_only(spark, sf_dir):
