@@ -60,6 +60,8 @@ def spread_for_python(df, cap: int | None = None):
     that setup dominates).  (Same discipline as the 4 MB
     maxPartitionBytes knob for the label pipeline: partition by compute,
     not bytes, when the stage is UDF-bound.)"""
+    if df.isStreaming:  # .rdd is illegal on a streaming frame; micro-
+        return df       # batch sizing is the trigger's job, not ours
     target = df.sparkSession.sparkContext.defaultParallelism
     if cap is not None:
         target = min(cap, target)

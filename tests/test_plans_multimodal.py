@@ -194,6 +194,9 @@ def test_spread_for_python_is_conditional(spark):
     many = spark.range(1000).repartition(par * 2)
     assert spread_for_python(many).rdd.getNumPartitions() == par * 2
     assert spread_for_python(many, cap=4).rdd.getNumPartitions() == par * 2
+    # streaming frames pass through untouched (.rdd would raise)
+    stream = spark.readStream.format("rate").load()
+    assert spread_for_python(stream) is stream
 
 
 def test_multiprobe_lsh_broadcasts_probe_side(spark, sf_dir):
