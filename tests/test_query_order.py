@@ -174,6 +174,43 @@ def test_hourly_anomaly_flags_planted_spike(spark, tmp_path):
     assert got[5]["is_spike"] is None
 
 
+def test_hourly_anomaly_matches_pure_python_integers(spark, tmp_path):
+    """The windowed k-sigma decision must equal a from-scratch Python
+    big-integer recomputation on a random series — pinning the decimal
+    cast chain (19,0 products, 38,0 squares, width-reduced k^2 factor)
+    against arbitrary-precision ground truth."""
+    import datetime
+    import random
+
+    from sequali_spark.operators.events import hourly_anomaly
+
+    rng = random.Random(13)
+    base = datetime.datetime(2024, 3, 1)
+    counts = [rng.randint(1, 40) for _ in range(120)]
+    rows = []
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append((base + datetime.timedelta(hours=h, seconds=i), "view"))
+    d = tmp_path / "ev2"
+    spark.createDataFrame(rows, schema="ts timestamp, event_type string").write.parquet(
+        str(d / "events.parquet")
+    )
+
+    got = {
+        (r["hour"] - base).total_seconds() // 3600: r["is_spike"]
+        for r in hourly_anomaly(spark, str(d)).collect()
+    }
+    for h, x in enumerate(counts):
+        trail = counts[max(0, h - 24) : h]
+        n = len(trail)
+        if n < 12:
+            expected = None
+        else:
+            s, sq = sum(trail), sum(v * v for v in trail)
+            expected = (n * x - s) ** 2 > 9 * (n * sq - s * s)
+        assert got[h] == expected, (h, x, trail)
+
+
 def test_windowed_queries_emit_integer_domains_only(spark, sf_dir):
     """The r1/r2 hash-fail class: DECIMAL (and fractional DOUBLE/FLOAT)
     output columns hash differently across engine bindings even when the
