@@ -307,11 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out in three blocks:
 
     1. entries 1-50: every oracle-backed query we want judged — all
-       rows+schema+hash checkable.  59 oracles compete for 50 slots;
-       the 9 that deliberately overflow (block 2) are redundant or
+       rows+schema+hash checkable.  60 oracles compete for 50 slots;
+       the 10 that deliberately overflow (block 2) are redundant or
        late-added siblings whose operators stay pinned by the local
        typed-Arrow mirror (tests/test_entry_parity.py).
-    2. the 9 overflow oracle-backed entries: doc_length_cumdist /
+    2. the 10 overflow oracle-backed entries: doc_length_cumdist /
        doc_log_length_histogram / doc_alpha_ratio_histogram (binning
        variants of doc_length_histogram + doc_char_ratios),
        doc_bottom_decile (percentile sibling), doc_probe_position_curve
@@ -319,8 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        doc_token_zipf_mass (token-frequency sibling of
        doc_type_token_ratio / doc_stopword_fraction),
        doc_decontaminate (contains() theta-join sibling of
-       doc_boilerplate_id), rel_region_revenue (deeper-join sibling of
-       rel_top_unshipped), events_hourly_anomaly (integer k-sigma
+       doc_boilerplate_id), rel_region_revenue / rel_part_type_share (deeper-join and
+       share-of-total siblings of rel_top_unshipped), events_hourly_anomaly (integer k-sigma
        deviation sibling of doc_per_source_deviation on the time axis).
     3. rows-only entries (no SQL oracle by nature: sketch-based dedup,
        ANN, Python model scorers, multimodal stub).
@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_zipf_mass": textqc.token_zipf_mass,
         "doc_decontaminate": textqc.benchmark_decontaminate,
         "rel_region_revenue": relational.region_revenue,
+        "rel_part_type_share": relational.part_type_revenue_share,
         "events_hourly_anomaly": events.hourly_anomaly,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
@@ -1062,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
               AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
             GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+        """,
+        "rel_part_type_share": """
+            WITH per AS (
+              SELECT p_type, count(*) AS line_items,
+                     CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,12)) * 100) AS BIGINT) AS revenue_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+              GROUP BY p_type
+            )
+            SELECT p_type, line_items, revenue_cents,
+                   CAST((10000 * revenue_cents) // (SELECT sum(revenue_cents) FROM per) AS BIGINT) AS revenue_share_bps
+            FROM per ORDER BY p_type
         """,
         "rel_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -14,6 +14,7 @@ to cents once, after aggregation — never per row.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sequali_spark.operators.textqc import load
@@ -149,6 +150,43 @@ def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> Da
         .groupBy("n_name")
         .agg(_cents12(revenue).alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: per part-type revenue share of a date-windowed
+    month — fact-to-dimension join (part broadcasts while it fits; AQE
+    decides, no hint — p_partkey cardinality scales with SF) +
+    conditional share-of-total.  Revenue in BIGINT cents; share in
+    integer bps via pure integer division (domain: total revenue below
+    2^63/10^4 cents ≈ 9e14 dollars)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+    )
+    per_type = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("line_items"),
+            _cents12(revenue).alias("revenue_cents"),
+        )
+    )
+    total = F.sum("revenue_cents").over(W.partitionBy())
+    return (
+        per_type.withColumn("_total", total)
+        .selectExpr(
+            "p_type",
+            "line_items",
+            "revenue_cents",
+            "(10000 * revenue_cents) DIV _total AS revenue_share_bps",
+        )
+        .orderBy("p_type")
     )
 
 

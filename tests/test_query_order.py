@@ -80,6 +80,7 @@ EXPECTED_OVERFLOW = {
     "doc_token_zipf_mass",
     "doc_decontaminate",
     "rel_region_revenue",
+    "rel_part_type_share",
     "events_hourly_anomaly",
 }
 
@@ -109,8 +110,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 73
-    assert len(entry_mod.oracle_sql()) == 59
+    assert len(entry_mod.queries()) == 74
+    assert len(entry_mod.oracle_sql()) == 60
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
