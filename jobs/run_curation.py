@@ -19,8 +19,13 @@ Stats JSON reconciles exactly: kept + dropped_* == input docs.
 
 Resume story: the expensive stage (the per-doc decision table — gates,
 dedup sketch+components, decontamination) is CHECKPOINTED to
-<output>_decisions; a re-invocation after a crash reuses it and only
-re-runs the cheap output join (pass --force to recompute).  The gate
+<output>_decisions alongside a one-row manifest of the producing
+invocation (input path + parameters); a re-invocation after a crash
+reuses the checkpoint ONLY when the manifest matches (a changed
+--min-gates/--input recomputes instead of silently curating with stale
+decisions), and only re-runs the cheap output join (--force always
+recomputes).  Existence checks go through the Hadoop FileSystem API so
+resume works on hdfs://s3a:// outputs, not just the local FS.  The gate
 battery is per-doc and could also run under runtime.lineage day-units,
 but keeper selection and decontamination are corpus-GLOBAL joins — they
 cannot be computed per-unit without changing semantics, so the honest
@@ -31,7 +36,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +96,32 @@ def curate(
     )
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so resume works
+    on hdfs://, s3a://, etc. — driver-local os.path.exists only sees the
+    local filesystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _manifest(args) -> list[tuple]:
+    """One-row fingerprint of everything that determines the decision
+    table; a checkpoint is only reusable if it matches the invocation."""
+    return [
+        (
+            args.input,
+            float(args.dedup_threshold),
+            int(args.min_gates),
+            args.probes or "",
+        )
+    ]
+
+
+MANIFEST_SCHEMA = "input string, dedup_threshold double, min_gates int, probes string"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="dir containing documents.parquet")
@@ -127,7 +157,17 @@ def main() -> None:
     docs = textqc.load(spark, args.input, "documents").persist()
 
     dec_path = args.output.rstrip("/") + "_decisions"
-    resumed = (not args.force) and os.path.exists(os.path.join(dec_path, "_SUCCESS"))
+    man_path = dec_path + "_manifest"
+    # a checkpoint is reusable ONLY if it was produced by the same
+    # input + parameters: silently reusing decisions computed with a
+    # different --min-gates/--input would curate with stale semantics
+    resumed = (
+        (not args.force)
+        and _fs_exists(spark, dec_path + "/_SUCCESS")
+        and _fs_exists(spark, man_path + "/_SUCCESS")
+        and spark.read.schema(MANIFEST_SCHEMA).parquet(man_path).collect()
+        == spark.createDataFrame(_manifest(args), schema=MANIFEST_SCHEMA).collect()
+    )
     if not resumed:
         curate(
             spark,
@@ -137,6 +177,9 @@ def main() -> None:
             probes=probes,
             docs=docs,
         ).write.mode("overwrite").parquet(dec_path)
+        spark.createDataFrame(_manifest(args), schema=MANIFEST_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(man_path)
     decisions = spark.read.parquet(dec_path).persist()
 
     curated = docs.join(

@@ -158,8 +158,11 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     month — fact-to-dimension join (part broadcasts while it fits; AQE
     decides, no hint — p_partkey cardinality scales with SF) +
     conditional share-of-total.  Revenue in BIGINT cents; share in
-    integer bps via pure integer division (domain: total revenue below
-    2^63/10^4 cents ≈ 9e14 dollars)."""
+    integer bps via pure integer division.  Overflow discipline (no
+    silent wrap): the share's operands are guarded — both engines emit
+    NULL identically when 10000*revenue_cents or the decimal-domain
+    total would leave int64, instead of Spark wrapping while DuckDB
+    raises."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     revenue = F.sum(
@@ -177,14 +180,23 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents12(revenue).alias("revenue_cents"),
         )
     )
-    total = F.sum("revenue_cents").over(W.partitionBy())
+    i64 = 9223372036854775807
+    total_dec = F.sum(F.col("revenue_cents").cast("decimal(19,0)")).over(W.partitionBy())
+    share = F.when(
+        F.col("revenue_cents") <= F.lit(i64 // 10000),
+        F.expr("(10000 * revenue_cents) DIV _total"),
+    )
     return (
-        per_type.withColumn("_total", total)
-        .selectExpr(
+        per_type.withColumn("_total_dec", total_dec)
+        .withColumn(
+            "_total",
+            F.when(F.col("_total_dec") <= F.lit(i64), F.col("_total_dec").cast("long")),
+        )
+        .select(
             "p_type",
             "line_items",
             "revenue_cents",
-            "(10000 * revenue_cents) DIV _total AS revenue_share_bps",
+            share.alias("revenue_share_bps"),
         )
         .orderBy("p_type")
     )

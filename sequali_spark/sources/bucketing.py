@@ -15,17 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed+sorted managed table (saveAsTable is
-    required — bucket metadata lives in the catalog)."""
-    (
+    """Persist as a bucketed+sorted table (saveAsTable is required —
+    bucket metadata lives in the catalog).  ``path`` makes the table
+    EXTERNAL at that location instead of warehouse-managed (tests and
+    ad-hoc runs should not write into the session warehouse dir)."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:

@@ -66,31 +66,3 @@ class TableIO:
 def get_table_io(spark: SparkSession, prefer_iceberg: bool = True) -> TableIO:
     fmt = "iceberg" if (prefer_iceberg and iceberg_available(spark)) else "parquet"
     return TableIO(spark, fmt)
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    path: str,
-    key: str,
-    buckets: int = 16,
-) -> None:
-    """Write ``df`` as a hash-BUCKETED, bucket-sorted external table —
-    the co-located-join storage layout: two tables bucketed the same way
-    on the same key join with ZERO exchanges (Catalyst sees the matching
-    output partitioning and skips both shuffles; SortMergeJoin reads the
-    pre-sorted buckets directly).  This is the parquet twin of the
-    Iceberg DDL's bucket(N, url) hidden partitioning: at 100 TB the
-    repeated joins of the engine (labels-to-docs, decisions-to-docs,
-    signature re-attach) are shuffle-free if both sides live bucketed on
-    the join key.  ``path`` makes the table external (no warehouse-dir
-    pollution); Spark requires saveAsTable for bucketing metadata —
-    plain .parquet(path) cannot record bucket specs."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(table)
-    )

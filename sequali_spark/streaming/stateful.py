@@ -83,6 +83,19 @@ def _spike_update_factory(k: int, window: int, min_slots: int):
         out = {"event_type": [], "hour": [], "events": [], "trailing_slots": [], "is_spike": []}
         for hour, x in zip(batch["hour"], batch["events"]):
             x = int(x)
+            epoch = int(pd.Timestamp(hour).timestamp())
+            # ORDERING GUARD: the contract is in-order, exactly-once
+            # closed windows (the append-mode rollup guarantees it).  A
+            # duplicate or time-regressed window would silently corrupt
+            # the trailing frame — emit it UNDECIDED (NULL flag) and
+            # leave state untouched instead.
+            if hours and epoch <= hours[-1]:
+                out["event_type"].append(key[0])
+                out["hour"].append(hour)
+                out["events"].append(x)
+                out["trailing_slots"].append(len(counts))
+                out["is_spike"].append(None)
+                continue
             n = len(counts)
             if n >= min_slots:
                 s = sum(counts)
@@ -95,7 +108,7 @@ def _spike_update_factory(k: int, window: int, min_slots: int):
             out["events"].append(x)
             out["trailing_slots"].append(n)
             out["is_spike"].append(spike)
-            hours.append(int(pd.Timestamp(hour).timestamp()))
+            hours.append(epoch)
             counts.append(x)
             if len(counts) > window:
                 hours, counts = hours[-window:], counts[-window:]

@@ -124,6 +124,23 @@ def test_curation_job_cli(spark, sf_dir, tmp_path):
         k: v for k, v in stats.items() if k != "resumed_from_checkpoint"
     }
 
+    # changed parameters invalidate the checkpoint: a --min-gates 3 run
+    # must RECOMPUTE (manifest mismatch), not silently reuse
+    stats3_path = str(tmp_path / "stats3.json")
+    proc3 = subprocess.run(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", sf_dir, "--output", out, "--stats", stats3_path,
+            "--min-gates", "3",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc3.returncode == 0, proc3.stderr[-2000:]
+    stats3 = json.load(open(stats3_path))
+    assert stats3["resumed_from_checkpoint"] is False
+    # looser gates keep at least as many docs
+    assert stats3["kept"] >= stats["kept"]
+
 
 def test_curation_drop_precedence(spark, tmp_path):
     """A doc that is BOTH low-quality and a duplicate is attributed to

@@ -70,37 +70,6 @@ def test_table_io_falls_back_to_parquet(spark, sf_dir):
     assert "days(warc_ts)" in ddl and "bucket(64, url)" in ddl
 
 
-def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
-    """Two tables bucketed+sorted on the join key must join with ZERO
-    exchanges (the co-located-join layout the Iceberg DDL's
-    bucket(64, url) targets); the same join on plain parquet shuffles
-    both sides — this pins the claim with plans, not prose."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source", "n_chars"
-    )
-    labels = docs.select("doc_id", (F.col("n_chars") >= 50).alias("keep"))
-    # disable auto-broadcast: at fixture size Spark would broadcast the
-    # small side (its own shuffle-free strategy), masking the bucketed
-    # path this test pins — at 100 TB neither side broadcasts
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        tables.write_bucketed(docs, "bdocs", str(tmp_path / "bdocs"), "doc_id")
-        tables.write_bucketed(labels, "blabels", str(tmp_path / "blabels"), "doc_id")
-        joined = spark.table("bdocs").join(spark.table("blabels"), "doc_id")
-        plan = checks.physical_plan(joined)
-        assert "Exchange" not in plan, plan
-        assert "Bucketed: true" in plan, plan
-        assert joined.count() == docs.count()
-        # control: the identical join on unbucketed scans DOES shuffle
-        plain = docs.join(labels, "doc_id")
-        assert "Exchange" in checks.physical_plan(plain)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bdocs")
-        spark.sql("DROP TABLE IF EXISTS blabels")
-
-
 # --- multimodal --------------------------------------------------------------
 
 @pytest.fixture()

@@ -76,12 +76,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     # sides are fact-sized — force the sort-merge path bucketing serves
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bucketing.write_bucketed(docs.select("doc_id", "text"), "b_docs", "doc_id")
-        bucketing.write_bucketed(docs.select("doc_id", "lang", "source"), "b_meta", "doc_id")
+        bucketing.write_bucketed(
+            docs.select("doc_id", "text"), "b_docs", "doc_id",
+            path=str(tmp_path / "b_docs"),
+        )
+        bucketing.write_bucketed(
+            docs.select("doc_id", "lang", "source"), "b_meta", "doc_id",
+            path=str(tmp_path / "b_meta"),
+        )
         joined = bucketing.bucketed_join(spark, "b_docs", "b_meta", "doc_id")
         assert joined.count() == docs.count()
         plan = checks.physical_plan(joined)
         assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan  # the scans actually used buckets
         assert checks.shuffle_count(joined) == 0, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
