@@ -1073,7 +1073,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p_type
             )
             SELECT p_type, line_items, revenue_cents,
-                   CAST((10000 * revenue_cents) // (SELECT sum(revenue_cents) FROM per) AS BIGINT) AS revenue_share_bps
+                   CASE WHEN revenue_cents <= 922337203685477
+                         AND sum(CAST(revenue_cents AS DECIMAL(19,0))) OVER () <= 9223372036854775807
+                        THEN CAST((10000 * revenue_cents)
+                                  // CAST(sum(CAST(revenue_cents AS DECIMAL(19,0))) OVER () AS BIGINT) AS BIGINT)
+                   END AS revenue_share_bps
             FROM per ORDER BY p_type
         """,
         "rel_order_priority": """
