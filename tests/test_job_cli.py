@@ -142,6 +142,49 @@ def test_curation_job_cli(spark, sf_dir, tmp_path):
     assert stats3["kept"] >= stats["kept"]
 
 
+def test_curation_cli_external_probes(spark, tmp_path):
+    """--probes parquet flows through projection/type-pinning into the
+    contamination join: a marker probe drops exactly the docs carrying
+    it, even when the probes table has extra/mis-typed columns."""
+    import pandas as pd
+
+    marker = "qzj benchmark probe qzj"
+    good = "plenty of plain english words about storage engines " * 6
+    rows = [
+        (0, good + " one", "s1"),
+        (1, "another long unrelated document on compilers and parsing " * 6 + marker, "s1"),
+        (2, "a third long document about networks and routing tables " * 6, "s2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    # probes table with a STRING probe_doc and extra columns: the CLI
+    # must project + cast before the join
+    probes_path = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [("7", marker, "extra", 1)],
+        schema="probe_doc string, probe string, doc_id string, text int",
+    ).write.parquet(probes_path)
+
+    out = str(tmp_path / "curated")
+    stats_path = str(tmp_path / "stats.json")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", str(d), "--output", out, "--stats", stats_path,
+            "--probes", probes_path,
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.load(open(stats_path))
+    assert stats["dropped"].get("contaminated") == 1
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 not in kept_ids and {0, 2} <= kept_ids
+
+
 def test_curation_drop_precedence(spark, tmp_path):
     """A doc that is BOTH low-quality and a duplicate is attributed to
     'quality' (the documented precedence); exact dup clusters keep one
