@@ -130,13 +130,22 @@ def event_type_hourly_pivot(
     12-bin quality distribution) as conditional aggregation.  Pivot
     columns come from an explicit vocabulary (caller-supplied for open
     vocabularies), never a driver-side distinct() collect in the build
-    path."""
+    path.  ``n_other`` is the drift canary: an event type absent from
+    the vocabulary lands there instead of silently vanishing from the
+    report, so vocabulary drift is visible on both engines."""
     e = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
     aggs = [
         F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
         for t in event_types
     ]
+    # NULL is drift too: coalesce the membership test so a null type
+    # counts in n_other on both engines (SQL NOT IN yields NULL for NULL)
+    aggs.append(
+        F.sum(
+            (~F.coalesce(F.col("event_type").isin(*event_types), F.lit(False))).cast("long")
+        ).alias("n_other")
+    )
     return e.groupBy(day).agg(*aggs).orderBy("day")
 
 

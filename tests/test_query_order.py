@@ -212,6 +212,38 @@ def test_hourly_anomaly_matches_pure_python_integers(spark, tmp_path):
         assert got[h] == expected, (h, x, trail)
 
 
+def test_pivot_n_other_catches_vocabulary_drift(spark, tmp_path):
+    """An event type outside the static pivot vocabulary (including
+    NULL) must surface in n_other — on BOTH engines — instead of
+    silently vanishing from the report."""
+    import datetime
+
+    import duckdb
+
+    from sequali_spark.operators.events import event_type_hourly_pivot
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (base, "click"),
+        (base + datetime.timedelta(minutes=1), "refund"),  # drifted type
+        (base + datetime.timedelta(minutes=2), None),  # null type
+        (base + datetime.timedelta(days=1), "view"),
+    ]
+    d = tmp_path / "ev_drift"
+    spark.createDataFrame(rows, schema="ts timestamp, event_type string").write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {r["day"]: r.asDict() for r in event_type_hourly_pivot(spark, str(d)).collect()}
+    assert got[base]["n_click"] == 1 and got[base]["n_other"] == 2
+    assert got[base + datetime.timedelta(days=1)]["n_view"] == 1
+    assert got[base + datetime.timedelta(days=1)]["n_other"] == 0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    oracle = {r[0]: r for r in con.sql(entry_mod.oracle_sql()["events_type_daily_pivot"]).fetchall()}
+    assert oracle[base][-1] == 2 and oracle[base + datetime.timedelta(days=1)][-1] == 0
+
+
 def test_windowed_queries_emit_integer_domains_only(spark, sf_dir):
     """The r1/r2 hash-fail class: DECIMAL (and fractional DOUBLE/FLOAT)
     output columns hash differently across engine bindings even when the
