@@ -453,15 +453,22 @@ def ngram_jaccard_pairs(
     distinct-gram set is O(len), and each candidate pair shuffles both
     sets, so unbounded arrays make the verify stage's row width scale
     with document length at 100 TB.  Docs with <= max_grams distinct
-    grams are verified EXACTLY; larger docs are verified on their
-    bottom-``max_grams`` grams by xxhash64 order — a deterministic
-    min-hash-style sample (same hash on both sides, so shared grams are
-    sampled consistently), giving a Jaccard estimate whose error is
-    pinned by tests/test_dedup_recall.py against exact Jaccard on the
-    fixture."""
+    grams ship their FULL set; larger docs ship their
+    bottom-``max_grams`` grams by xxhash64 order (a deterministic
+    bottom-k sketch — same hash on both sides, so shared grams are
+    sampled consistently) plus the sketch's hash threshold.  At verify
+    time BOTH sides are restricted to grams whose hash is <= the
+    smaller of the two thresholds, so a capped/uncapped pair compares
+    the same hash-restricted domain on both sides — intersecting a
+    large doc's sample with a small doc's full set would understate
+    Jaccard by ~|A|/max_grams (the bottom-k estimator is only unbiased
+    on a common domain).  Pairs where neither side is capped therefore
+    stay EXACT (threshold = +inf); estimate error for capped pairs is
+    pinned by tests/test_dedup_recall.py against exact Jaccard."""
     d = load(spark, sf_dir, "documents")
     if candidates is None:
         candidates = minhash_near_dup_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    i64_max = (1 << 63) - 1
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
     all_grams = F.array_distinct(
         F.filter(
@@ -469,22 +476,32 @@ def ngram_jaccard_pairs(
             lambda s: F.length(s) == k,
         )
     )
-    # bottom-max_grams by hash: sort (hash, gram) structs, slice, unwrap
+    # bottom-max_grams by hash: sort (hash, gram) structs, slice, unwrap;
+    # the cap threshold is the largest hash RETAINED (element max_grams
+    # of the sorted struct array), +inf when the doc is under the cap
     hashed = F.transform(
         all_grams, lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g"))
     )
-    capped = F.when(F.size(all_grams) <= max_grams, all_grams).otherwise(
+    is_capped = F.size(all_grams) > max_grams
+    capped = F.when(~is_capped, all_grams).otherwise(
         F.transform(F.slice(F.array_sort(hashed), 1, max_grams), lambda s: s["g"])
     )
-    grams = d.select("doc_id", capped.alias("grams"))
+    thr = F.when(
+        is_capped, F.element_at(F.array_sort(hashed), max_grams)["h"]
+    ).otherwise(F.lit(i64_max))
+    grams = d.select("doc_id", capped.alias("grams"), thr.alias("thr"))
     a = grams.alias("ga")
     b = grams.alias("gb")
     joined = (
         candidates.join(a, F.col("doc_a") == F.col("ga.doc_id"))
         .join(b, F.col("doc_b") == F.col("gb.doc_id"))
     )
-    inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
-    union = F.size(F.array_union(F.col("ga.grams"), F.col("gb.grams")))
+    # symmetric bottom-k: restrict both sides to the common hash domain
+    pair_thr = F.least(F.col("ga.thr"), F.col("gb.thr"))
+    ga = F.filter(F.col("ga.grams"), lambda g: F.xxhash64(g) <= pair_thr)
+    gb = F.filter(F.col("gb.grams"), lambda g: F.xxhash64(g) <= pair_thr)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
     jac_bps = F.floor(F.lit(10000) * inter / F.greatest(union, F.lit(1))).cast("long")
     return joined.select("doc_a", "doc_b", jac_bps.alias("jaccard_bps")).orderBy(
         "doc_a", "doc_b"

@@ -236,13 +236,17 @@ def test_ngram_jaccard_cap_exact_below_estimates_above(spark, tmp_path):
     long_b = long_a[:2000] + "".join(rng.choice("abcdefghij") for _ in range(2000))
     short_a = "the quick brown fox jumps over the lazy dog"
     short_b = "the quick brown fox jumped over a lazy dog"
+    # mixed pair: doc 4 is UNDER the cap while doc 0 is over it — the
+    # asymmetric case where intersecting the big side's sample with the
+    # small side's full set would understate Jaccard by ~|A|/max_grams
+    mixed_small = long_a[:500]
     d = tmp_path / "ngram"
     spark.createDataFrame(
-        [(0, long_a), (1, long_b), (2, short_a), (3, short_b)],
+        [(0, long_a), (1, long_b), (2, short_a), (3, short_b), (4, mixed_small)],
         schema="doc_id long, text string",
     ).write.parquet(str(d / "documents.parquet"))
     cands = spark.createDataFrame(
-        [(0, 1), (2, 3)], schema="doc_a long, doc_b long"
+        [(0, 1), (2, 3), (0, 4)], schema="doc_a long, doc_b long"
     )
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard_bps"]
@@ -259,6 +263,13 @@ def test_ngram_jaccard_cap_exact_below_estimates_above(spark, tmp_path):
     assert capped[(2, 3)] == exact[(2, 3)], "below-cap pair must be exact"
     assert abs(capped[(0, 1)] - exact[(0, 1)]) <= 1000, (
         f"bottom-k estimate {capped[(0, 1)]} vs exact {exact[(0, 1)]}"
+    )
+    # symmetric bottom-k on the mixed pair: both sides restricted to the
+    # common hash domain, so the estimate stays near exact instead of
+    # collapsing by the big side's sampling fraction (~13% here, which
+    # would put the one-sided estimate ~40% low)
+    assert abs(capped[(0, 4)] - exact[(0, 4)]) <= 350, (
+        f"mixed-pair estimate {capped[(0, 4)]} vs exact {exact[(0, 4)]}"
     )
 
 
