@@ -12,7 +12,10 @@ training-data pipeline actually runs (filter -> dedup -> decontaminate
 
 Drop precedence (each doc gets ONE drop_reason, checked in this order):
   quality        fewer than --min-gates heuristic gates passed
-  duplicate      non-keeper of an exact/near dup cluster (dedup_keepers)
+  duplicate      non-keeper of an exact/near dup cluster; the keeper is
+                 re-elected among members that survive the OTHER passes
+                 (see curate) so a cluster whose min-id member fails the
+                 gates still keeps a clean representative
   contaminated   contains a benchmark probe (decontamination_hits)
 
 Stats JSON reconciles exactly: kept + dropped_* == input docs.
@@ -55,7 +58,19 @@ def curate(
     share a single materialized scan — and join back on doc_id only
     (never re-shuffling text).  ``probes`` is the benchmark table
     (probe_doc, probe) for decontamination; default = the corpus-derived
-    demo set."""
+    demo set.
+
+    Keeper election is SURVIVOR-AWARE: the cluster representative is
+    the min doc_id among members that would survive the other gates
+    (quality-passing and uncontaminated first, then quality-passing,
+    then any member).  Electing blindly by min doc_id would delete an
+    entire near-dup cluster whenever its min-id member happens to fail
+    the quality gates — that member drops as 'quality' while every
+    other member drops as 'duplicate', so no representative survives
+    even when other members are clean (the 'filter -> dedup' workflow
+    implies a surviving representative when one exists)."""
+    from pyspark.sql import Window as W
+
     from sequali_spark.operators import dedup, textqc
 
     if docs is None:
@@ -64,16 +79,32 @@ def curate(
     gates = textqc.quality_score(spark, sf_dir, docs=docs).select(
         "doc_id", "gates_passed"
     )
-    dup_losers = (
-        dedup.dedup_keepers(spark, sf_dir, threshold=dedup_threshold, docs=docs)
-        .filter(~F.col("keep_doc"))
-        .select("doc_id", F.lit(True).alias("_is_dup"))
-    )
     contaminated = (
         textqc.decontamination_hits(docs, probes=probes)
         .select("doc_id")
         .distinct()
         .withColumn("_is_contaminated", F.lit(True))
+    )
+    clusters = dedup.dedup_keepers(
+        spark, sf_dir, threshold=dedup_threshold, docs=docs
+    ).select("doc_id", "component")
+    # re-elect the keeper among members that survive the other passes:
+    # 0 = gate-passing and uncontaminated, 1 = gate-passing, 2 = any
+    members = clusters.join(gates, "doc_id", "left").join(
+        contaminated, "doc_id", "left"
+    )
+    passes = F.coalesce("gates_passed", F.lit(0)) >= min_gates
+    clean = ~F.coalesce("_is_contaminated", F.lit(False))
+    prio = F.when(passes & clean, 0).when(passes, 1).otherwise(2)
+    elected = F.min(F.struct(prio.alias("p"), F.col("doc_id").alias("d"))).over(
+        # per-cluster window: dup clusters are small by construction
+        # (star-capped buckets + components), never a row-level frame
+        W.partitionBy("component")
+    )["d"]
+    dup_losers = (
+        members.withColumn("_keeper", elected)
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select("doc_id", F.lit(True).alias("_is_dup"))
     )
 
     labeled = (
@@ -106,7 +137,23 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
-def _manifest(args) -> list[tuple]:
+def _probes_fingerprint(probes: DataFrame | None) -> str:
+    """Content fingerprint of the external probes table (row count +
+    order-independent xxhash64 XOR).  The manifest must fingerprint the
+    probes by CONTENT, not path: rewriting the probes parquet in place
+    between runs would otherwise pass the path-equality check and
+    silently reuse decontamination decisions computed from the old
+    probe set.  One bounded collect of a single aggregate row."""
+    if probes is None:
+        return ""
+    r = probes.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(probe_doc, probe))").alias("h"),
+    ).collect()[0]
+    return f"{r['n']}:{r['h']}"
+
+
+def _manifest(args, probes: DataFrame | None = None) -> list[tuple]:
     """One-row fingerprint of everything that determines the decision
     table; a checkpoint is only reusable if it matches the invocation."""
     return [
@@ -115,11 +162,14 @@ def _manifest(args) -> list[tuple]:
             float(args.dedup_threshold),
             int(args.min_gates),
             args.probes or "",
+            _probes_fingerprint(probes),
         )
     ]
 
 
-MANIFEST_SCHEMA = "input string, dedup_threshold double, min_gates int, probes string"
+MANIFEST_SCHEMA = (
+    "input string, dedup_threshold double, min_gates int, probes string, probes_fp string"
+)
 
 
 def main() -> None:
@@ -161,12 +211,13 @@ def main() -> None:
     # a checkpoint is reusable ONLY if it was produced by the same
     # input + parameters: silently reusing decisions computed with a
     # different --min-gates/--input would curate with stale semantics
+    manifest_rows = _manifest(args, probes)
     resumed = (
         (not args.force)
         and _fs_exists(spark, dec_path + "/_SUCCESS")
         and _fs_exists(spark, man_path + "/_SUCCESS")
         and spark.read.schema(MANIFEST_SCHEMA).parquet(man_path).collect()
-        == spark.createDataFrame(_manifest(args), schema=MANIFEST_SCHEMA).collect()
+        == spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).collect()
     )
     if not resumed:
         curate(
@@ -177,7 +228,7 @@ def main() -> None:
             probes=probes,
             docs=docs,
         ).write.mode("overwrite").parquet(dec_path)
-        spark.createDataFrame(_manifest(args), schema=MANIFEST_SCHEMA).write.mode(
+        spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).write.mode(
             "overwrite"
         ).parquet(man_path)
     decisions = spark.read.parquet(dec_path).persist()

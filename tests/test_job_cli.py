@@ -185,6 +185,95 @@ def test_curation_cli_external_probes(spark, tmp_path):
     assert 1 not in kept_ids and {0, 2} <= kept_ids
 
 
+def test_curation_keeper_reelection_prefers_survivors(spark, tmp_path):
+    """A near-dup cluster whose min-id member fails the quality gates
+    (or is contaminated) must still keep a clean representative: the
+    keeper is re-elected among members that survive the other passes,
+    instead of electing blindly by min doc_id and losing the whole
+    cluster (min-id drops as 'quality', the rest as 'duplicate')."""
+    import pandas as pd
+
+    from jobs.run_curation import curate
+
+    # pair 1: B passes all gates; A = B truncated under the 50-char
+    # length gate (5-gram Jaccard ~0.94, still a near-dup)
+    b_text = "many small words fill this quick line of prose ok yes sir"
+    a_text = b_text[:49]
+    assert len(a_text) < 50 <= len(b_text)
+    # pair 2: both pass gates, but the min-id member carries a probe
+    marker = "vqk benchmark marker vqk"
+    clean = "plain sentences about storage engines and query planners " * 7
+    rows = [
+        (0, a_text, "s1"),
+        (1, b_text, "s1"),
+        (10, clean + marker, "s2"),
+        (11, clean + "tail words", "s2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "reelect"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    probes = spark.createDataFrame(
+        [(999, marker)], schema="probe_doc long, probe string"
+    )
+
+    got = {r["doc_id"]: r for r in curate(spark, str(d), probes=probes).collect()}
+    assert got[0]["drop_reason"] == "quality"
+    assert got[1]["keep"], "gate-passing member must be re-elected keeper"
+    assert got[10]["drop_reason"] == "contaminated"
+    assert got[11]["keep"], "uncontaminated member must be re-elected keeper"
+
+
+def test_curation_probes_rewrite_invalidates_checkpoint(spark, tmp_path):
+    """The resume manifest fingerprints the probes table by CONTENT:
+    rewriting the probes parquet in place between runs (same path) must
+    force a recompute, not silently reuse decisions from the old probe
+    set."""
+    import pandas as pd
+
+    marker_a = "qaz probe one qaz"
+    marker_b = "wsx probe two wsx"
+    rows = [
+        (0, "long clean document about compilers and linkers " * 6 + marker_a, "s1"),
+        (1, "long clean document about networks and routers " * 6 + marker_b, "s1"),
+        (2, "long clean document about storage and caching layers " * 6, "s2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    probes_path = str(tmp_path / "probes")
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+
+    def run(stats_name):
+        stats_path = str(tmp_path / stats_name)
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_curation.py",
+                "--input", str(d), "--output", out, "--stats", stats_path,
+                "--probes", probes_path,
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.load(open(stats_path))
+
+    spark.createDataFrame(
+        [(900, marker_a)], schema="probe_doc long, probe string"
+    ).write.parquet(probes_path)
+    stats1 = run("stats1.json")
+    assert stats1["dropped"].get("contaminated") == 1
+
+    # rewrite the probes table IN PLACE (same path, different content)
+    spark.createDataFrame(
+        [(900, marker_a), (901, marker_b)], schema="probe_doc long, probe string"
+    ).write.mode("overwrite").parquet(probes_path)
+    stats2 = run("stats2.json")
+    assert stats2["resumed_from_checkpoint"] is False
+    assert stats2["dropped"].get("contaminated") == 2
+
+
 def test_curation_drop_precedence(spark, tmp_path):
     """A doc that is BOTH low-quality and a duplicate is attributed to
     'quality' (the documented precedence); exact dup clusters keep one
