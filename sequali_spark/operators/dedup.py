@@ -201,9 +201,16 @@ def minhash_pairs_for(
     — they are star-capped: the first ``max_bucket`` members (ordered by
     a deterministic per-bucket hash) pair all-vs-all, and every member
     past the cap emits ONE candidate against the bucket anchor, so the
-    bucket contributes at most cap^2/2 + (B-cap) rows while the whole
-    cluster stays connected for the downstream connected-components
-    pass.  (Bounded tables are the reference's own discipline:
+    bucket contributes at most cap^2/2 + (B-cap) rows.  Star edges pass
+    through the same est_jaccard verify as head pairs, so an over-cap
+    member stays connected to the cluster when it verifies against the
+    sampled anchor (true for genuine near-dup clusters, where every
+    member resembles every other); a member whose similarity to that
+    one anchor falls under the threshold can still drop out — the
+    per-band anchor re-sampling (ordering is salted by band hash) and
+    the downstream connected-components pass recover most such links,
+    but connectivity of over-cap clusters is best-effort, not
+    guaranteed.  (Bounded tables are the reference's own discipline:
     _qcmodule.c:3429-3431, 4248-4253.)  ``collapse_exact`` runs LSH on
     exact-dedup representatives only (see exact_rep_labeled_sigs) so the
     cap only ever engages on pathological near-dup clusters.
@@ -327,8 +334,8 @@ def simhash_near_dup_pairs(
     at least one block matches exactly (cf. the reference's two-half
     pigeonhole search for <=1 mismatch, _qcmodule.c:5667-5707) —
     then verified by exact popcount.  The block join is therefore a
-    complete (no-false-negative) blocking scheme for the threshold,
-    subject to two scale guards:
+    complete (no-false-negative) blocking scheme for the threshold up
+    to the bucket cap below, subject to two scale guards:
 
     - degenerate fingerprints are dropped before the join: empty/tiny
       docs all simhash to 0, so one block bucket would hold every empty
@@ -338,10 +345,15 @@ def simhash_near_dup_pairs(
       bucket), and block buckets above ``max_bucket`` are star-capped:
       the first cap members (deterministic per-bucket hash order) pair
       all-vs-all, members past the cap emit one candidate against the
-      bucket anchor — at most cap^2/2 + (B-cap) rows per bucket while
-      an over-cap near-dup cluster stays connected (never silently
-      dropped).  Bounded tables are the reference's own discipline
-      (_qcmodule.c:3429-3431, 4248-4253).
+      bucket anchor — at most cap^2/2 + (B-cap) rows per bucket.  A
+      star edge still passes the hamming verify, so an over-cap member
+      stays connected when it is within ``max_hamming`` of the sampled
+      anchor; one whose distance to that one anchor exceeds the
+      threshold can drop out (per-block anchor re-sampling and
+      connected components recover most such links — best-effort, not
+      guaranteed, never a silent full-bucket drop).  Bounded tables are
+      the reference's own discipline (_qcmodule.c:3429-3431,
+      4248-4253).
     """
     import hashlib as _hl
 
