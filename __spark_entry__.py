@@ -303,25 +303,26 @@ def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver judges exactly the FIRST 50 entries
-    (CORRECTNESS_r01/r02 are precisely that prefix), so the dict is laid
+    (CORRECTNESS_r01-r03 are precisely that prefix), so the dict is laid
     out in three blocks:
 
     1. entries 1-50: every oracle-backed query we want judged — all
-       rows+schema+hash checkable.  60 oracles compete for 50 slots;
-       the 10 that deliberately overflow (block 2) are redundant or
-       late-added siblings whose operators stay pinned by the local
-       typed-Arrow mirror (tests/test_entry_parity.py).
-    2. the 10 overflow oracle-backed entries: doc_length_cumdist /
-       doc_log_length_histogram / doc_alpha_ratio_histogram (binning
-       variants of doc_length_histogram + doc_char_ratios),
-       doc_bottom_decile (percentile sibling), doc_probe_position_curve
-       (substring_scan + cumsum composition, both judged separately),
-       doc_token_zipf_mass (token-frequency sibling of
-       doc_type_token_ratio / doc_stopword_fraction),
-       doc_decontaminate (contains() theta-join sibling of
-       doc_boilerplate_id), rel_region_revenue / rel_part_type_share (deeper-join and
-       share-of-total siblings of rel_top_unshipped), events_hourly_anomaly (integer k-sigma
-       deviation sibling of doc_per_source_deviation on the time axis).
+       rows+schema+hash checkable.  61 oracles compete for 50 slots.
+       Rotated for round 4 (VERDICT r3 task 1): the five r3 flagship
+       additions that had never seen a driver row
+       (doc_token_zipf_mass, doc_decontaminate, rel_region_revenue,
+       rel_part_type_share, events_hourly_anomaly) plus the new
+       doc_ppl_surprisal_histogram moved INTO the window; six
+       thrice-green redundant siblings moved out (doc_word_stats,
+       doc_lang_histogram, doc_stopword_fraction, doc_stratified_sample,
+       events_type_totals, rel_order_priority — each operator stays
+       pinned by the local typed-Arrow mirror,
+       tests/test_entry_parity.py).
+    2. the 11 overflow oracle-backed entries: binning/percentile
+       variants of judged queries (doc_length_cumdist,
+       doc_log_length_histogram, doc_alpha_ratio_histogram,
+       doc_bottom_decile, doc_probe_position_curve) and the six
+       rotated-out siblings above.
     3. rows-only entries (no SQL oracle by nature: sketch-based dedup,
        ANN, Python model scorers, multimodal stub).
 
@@ -334,12 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= block 1: the driver-judged 50 =================
         # --- text QC over documents (QCMetrics/A1-A5, P13-P14 lineage) ---
         "doc_char_ratios": textqc.char_ratios,
-        "doc_word_stats": textqc.word_stats_sql,
         "doc_length_histogram": textqc.length_histogram,
         "doc_per_source_quality": textqc.per_source_quality,
-        "doc_lang_histogram": textqc.lang_histogram_docs,
         "doc_substring_scan": textqc.substring_scan,
-        "doc_stopword_fraction": textqc.stopword_fraction,
         "doc_quality_score": textqc.quality_score,
         "doc_overrep_shingles": textqc.overrep_shingles_sql,
         "doc_position_char_profile": textqc.position_char_profile,
@@ -351,16 +349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_type_token_ratio": textqc.type_token_ratio,
         "doc_n50_report": textqc.n50_report,
         "doc_winnow_sql": textqc.winnow_fingerprint_stats,
-        "doc_stratified_sample": textqc.stratified_sample,
         "doc_source_mixture_weights": textqc.source_mixture_weights,
         "doc_boilerplate_id": _boilerplate_id,
         "doc_corpus_summary": _doc_corpus_summary,
+        "doc_token_zipf_mass": textqc.token_zipf_mass,
+        "doc_ppl_surprisal_histogram": textqc.ppl_surprisal_histogram,
+        "doc_decontaminate": textqc.benchmark_decontaminate,
         # --- dedup family (DedupEstimator/A10, A18 lineage) ---
         "dedup_exact_groups": dedup.exact_dup_groups,
         "dedup_fingerprint_histogram": dedup.fingerprint_histogram,
         # --- event-time analytics (NanoStats/A17, A20 lineage) ---
         "events_hourly_report": events.hourly_report,
-        "events_type_totals": events.event_type_totals,
         "events_daily_cumulative": events.daily_cumulative,
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
@@ -371,13 +370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events.funnel_conversion,
         "events_retention": events.retention_cohorts,
         "events_value_percentiles": events.value_percentiles_exact,
+        "events_hourly_anomaly": events.hourly_anomaly,
         # --- relational substrate (joins/aggregates/top-k) ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_unshipped": relational.top_unshipped_orders,
-        "rel_order_priority": relational.order_priority_counts,
         "rel_customers_no_orders": relational.customers_without_orders,
         "rel_pricing_rollup": relational.pricing_rollup,
         "rel_value_band_join": relational.value_band_join,
+        "rel_region_revenue": relational.region_revenue,
+        "rel_part_type_share": relational.part_type_revenue_share,
         # --- canonical pages shape + multimodal metadata ---
         "pages_time_window": _pages_time_window,
         "pages_host_report": _pages_host_report,
@@ -394,11 +395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_probe_position_curve": textqc.probe_position_curve,
-        "doc_token_zipf_mass": textqc.token_zipf_mass,
-        "doc_decontaminate": textqc.benchmark_decontaminate,
-        "rel_region_revenue": relational.region_revenue,
-        "rel_part_type_share": relational.part_type_revenue_share,
-        "events_hourly_anomaly": events.hourly_anomaly,
+        "doc_word_stats": textqc.word_stats_sql,
+        "doc_lang_histogram": textqc.lang_histogram_docs,
+        "doc_stopword_fraction": textqc.stopword_fraction,
+        "doc_stratified_sample": textqc.stratified_sample,
+        "events_type_totals": events.event_type_totals,
+        "rel_order_priority": relational.order_priority_counts,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -865,6 +867,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST((1000000 * CAST(mass_dec AS BIGINT)) // (tokens * _total) AS BIGINT)
                    END AS mean_tok_freq_ppm
             FROM tot ORDER BY source
+        """,
+        "doc_ppl_surprisal_histogram": """
+            WITH toks AS (
+              SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE length(text) > 0
+            ), per_doc AS (
+              SELECT doc_id, source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
+            ), gcounts AS (
+              SELECT tok, CAST(sum(cnt) AS BIGINT) AS g_cnt FROM per_doc GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(g_cnt) AS BIGINT) AS total FROM gcounts
+            ), bits AS (
+              SELECT tok, CAST(length(format('{:b}', total // g_cnt)) - 1 AS BIGINT) AS tok_bits
+              FROM gcounts, tot
+            ), per AS (
+              SELECT p.doc_id, p.source,
+                     CAST(sum(p.cnt * b.tok_bits) AS BIGINT) AS s,
+                     CAST(sum(p.cnt) AS BIGINT) AS n
+              FROM per_doc p JOIN bits b USING (tok) GROUP BY 1, 2
+            )
+            SELECT source, CAST(s // n AS BIGINT) AS surprisal_bits, count(*) AS docs
+            FROM per GROUP BY 1, 2 ORDER BY source, surprisal_bits
         """,
         "doc_decontaminate": """
             WITH probes AS (

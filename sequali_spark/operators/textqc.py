@@ -601,6 +601,61 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppl_surprisal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source histogram of per-doc mean unigram surprisal in INTEGER
+    bits — the oracle-checkable companion of the hashed-LM perplexity
+    scorer (functions/perplexity.py scores -mean log p(tok) in floating
+    point through a Python model artifact; this scores the same
+    commonness-per-token signal as floor(log2(total/count)) per token
+    occurrence, averaged per doc with integer division, so every value
+    is hash-stable across engines).
+
+    Definition: for each token occurrence, tok_bits =
+    floor(log2(T DIV C(tok))) where C is the corpus-wide count and T
+    the total occurrences (integer division; floor(log2(floor(x))) ==
+    floor(log2(x)) for x >= 1, so the DIV loses nothing).  Per doc,
+    surprisal_bits = (sum of tok_bits) DIV n_tokens — mean bits needed
+    to code a token under the corpus unigram distribution; the bucket
+    edges are therefore fixed integers (bucket b <=> mean surprisal in
+    [b, b+1) bits), the integer analogue of a log2-perplexity decile.
+    floor(log2) is computed EXACTLY on both engines as
+    length(binary-representation) - 1 (Spark conv(x,10,2), DuckDB
+    format('{:b}')) — never a float log.
+
+    Plan shape: one explode, one shuffle on (doc_id, tok), global
+    counts re-aggregated from that frame (vocabulary-sized join key),
+    scalar total attached via a broadcast 1-row cross join.  Bit sums
+    stay in int64: tok_bits <= 63, so sum < 63 * doc_tokens — exact for
+    any doc under ~1.4e17 tokens."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.length("text") > 0).select(
+        "doc_id", "source", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("cnt"))
+    glob = per_doc.groupBy("tok").agg(F.sum("cnt").alias("g_cnt"))
+    total = glob.agg(F.sum("g_cnt").alias("_total"))
+    bits = glob.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.conv(F.expr("_total DIV g_cnt").cast("string"), 10, 2)) - 1)
+        .cast("long")
+        .alias("tok_bits"),
+    )
+    per = (
+        per_doc.join(bits, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("tok_bits")).alias("s"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    return (
+        per.select("source", F.expr("s DIV n").alias("surprisal_bits"))
+        .groupBy("source", "surprisal_bits")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("source", "surprisal_bits")
+    )
+
+
 # corpus-derived demo probe-set parameters — the oracle SQL for
 # doc_decontaminate hardcodes the same three literals (LIMIT 20,
 # substr(..., 1, 16), n_chars >= 200); change them TOGETHER
