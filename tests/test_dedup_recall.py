@@ -155,7 +155,10 @@ def mega_cluster_dir(spark, tmp_path_factory):
 
     boiler = prose(120, "boil")
     near_a = prose(150, "near")
-    near_b = near_a.replace("alphanear", "omeganear", 1)
+    # one-CHARACTER edit => true shingle Jaccard ~0.95: the pair must sit
+    # well above the 0.8 query threshold so the test pins CAP behavior,
+    # not 64-permutation estimator noise (sd ~0.05 near the threshold)
+    near_b = near_a.replace("alphanear", "alphonear", 1)
     rows = (
         [(i, boiler) for i in range(80)]
         + [(80, ""), (81, ""), (82, "")]

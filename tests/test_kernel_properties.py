@@ -189,3 +189,27 @@ def test_wav_roundtrip_property(n, seed, rate):
     got, got_rate = multimodal.decode_wav(multimodal.encode_wav(s, rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, s)
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=25, deadline=None)
+def test_band_keys_match_scalar_mix_loop(seed):
+    """The vectorized band mix (_band_keys: batched dot with powers of
+    31 in uint64 wraparound, masked to 63 bits) must reproduce the
+    order-stable scalar loop `h = (h*31 + v) & M` bit-for-bit."""
+    import numpy as np
+
+    from sequali_spark.operators.dedup import (
+        LSH_BANDS, N_MINHASH, _band_keys,
+    )
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    sigs = rng.randint(0, 2**62, size=(5, N_MINHASH), dtype=np.int64)
+    got = _band_keys(sigs)
+    rows = N_MINHASH // LSH_BANDS
+    for d in range(sigs.shape[0]):
+        for bi in range(LSH_BANDS):
+            h = bi
+            for v in sigs[d, bi * rows : (bi + 1) * rows]:
+                h = (h * 31 + int(v)) & 0x7FFFFFFFFFFFFFFF
+            assert got[d, bi] == h, (d, bi)
