@@ -16,7 +16,10 @@ with struct+numpy only (no imaging stack in this container):
 - **WAV** (16-bit PCM RIFF): chunk walk, fmt/data parse -> int16
   samples; features = 32 linear rFFT band log-energies (the
   spectrogram-summary shape).
-- **PIL-gated path** for compressed formats (PNG/JPEG) when the
+- **PNG** (8-bit RGB/RGBA, non-interlaced): chunk walk with CRC
+  verify, stdlib zlib inflate, per-scanline unfilter (none/sub/up/
+  average/Paeth) in numpy — no imaging stack needed.
+- **PIL-gated path** for JPEG and exotic PNG variants when the
   environment provides an imaging stack (``HAVE_PIL``).
 - **Opaque fallback**: unknown magics get a byte-histogram feature —
   decode never fails a batch (the skipped_reason soft-degrade
@@ -126,6 +129,157 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB/RGBA, no interlace) — fixture twin
+    for the decoder.  ``filter_type`` applies that one filter (0-4) to
+    every scanline so round-trip tests can exercise each unfilter
+    branch."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    color_type = {3: 2, 4: 6}[ch]
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.int32)
+    flat = arr.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros(w * ch, dtype=np.int32)
+        left[ch:] = cur[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            ul = np.zeros(w * ch, dtype=np.int32)
+            ul[ch:] = prev[:-ch]
+            pred = np.fromiter(
+                (
+                    _paeth_predict(int(left[i]), int(prev[i]), int(ul[i]))
+                    for i in range(w * ch)
+                ),
+                dtype=np.int32,
+                count=w * ch,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown filter {filter_type}")
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWx{3,4} uint8 array, pure stdlib zlib + numpy: chunk
+    walk with CRC verify, IHDR validation (8-bit RGB/RGBA,
+    non-interlaced), zlib inflate of the concatenated IDAT stream, then
+    per-scanline unfiltering (spec §9): none/up vectorized, sub as a
+    per-lane cumsum mod 256 (recon[x] = raw[x] + recon[x-bpp] telescopes
+    to a prefix sum per byte lane), average/Paeth sequential along x
+    (each byte needs the already-reconstructed left neighbour).  The
+    production media path only meets thumbnails here, so the sequential
+    branches are bounded; exotic variants (palette, 16-bit, interlace)
+    raise ValueError and soft-degrade via decode_payload."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or interlace != 0:
+        raise ValueError("only 8-bit RGB/RGBA non-interlaced supported")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w * ch, offset=y * stride + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            # sub: per-lane prefix sum mod 256 (lane = byte position mod ch)
+            rec = line.copy()
+            lanes = rec.reshape(w, ch)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).reshape(-1).astype(np.int32)
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft == 3:
+            rec = line.copy()
+            for i in range(w * ch):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + (int(left) + int(prev[i])) // 2) % 256
+        elif ft == 4:
+            rec = line.copy()
+            for i in range(w * ch):
+                left = int(rec[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                rec[i] = (rec[i] + _paeth_predict(left, int(prev[i]), ul)) % 256
+        else:
+            raise ValueError(f"unknown scanline filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def image_features(rgb: np.ndarray, grid_h: int = 4, grid_w: int = 8) -> np.ndarray:
     """4x8 block-mean luminance grid in [0,1] — the thumbnail feature.
     Block assignment by integer bucket index + bincount: O(pixels), no
@@ -171,15 +325,27 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
     Mirrors the reference's format sniff + graceful degrade
     (util.py:113-123): a corrupt or unknown payload falls back to the
     opaque histogram rather than raising."""
+    import zlib
+
     try:
         if payload[:2] == b"BM":
             return "bmp", image_features(decode_bmp(payload))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "wav-pcm", audio_features(samples)
-        if HAVE_PIL and (
-            payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff"
-        ):
+        if payload[:8] == PNG_MAGIC:
+            try:
+                return "png", image_features(decode_png(payload)[:, :, :3])
+            except (ValueError, struct.error, zlib.error):
+                # exotic variant (palette/16-bit/interlace) — PIL if the
+                # environment has it, else fall through to opaque
+                if not HAVE_PIL:
+                    raise
+                import io
+
+                img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+                return "pil", image_features(img)
+        if HAVE_PIL and payload[:3] == b"\xff\xd8\xff":
             import io
 
             img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
@@ -187,7 +353,7 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
     # OSError covers PIL's UnidentifiedImageError (its subclass) and
     # truncated-file reads — a corrupt payload must NEVER fail the
     # batch, only degrade this row to the opaque path
-    except (ValueError, struct.error, OSError):
+    except (ValueError, struct.error, OSError, zlib.error):
         pass  # corrupt header -> opaque fallback below
     return "opaque", _opaque_features(payload)
 

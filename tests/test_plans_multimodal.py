@@ -125,6 +125,50 @@ def test_wav_roundtrip_exact():
     assert np.array_equal(got, s)
 
 
+def test_png_roundtrip_exact_all_filters():
+    """Every scanline filter (none/sub/up/average/Paeth) and both pixel
+    layouts (RGB/RGBA) must reconstruct bit-exactly — the unfilter
+    branches are the whole decoder."""
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    for ch in (3, 4):
+        for h, w in ((9, 5), (1, 1), (6, 16)):
+            img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for ft in range(5):
+                png = multimodal.encode_png(img, filter_type=ft)
+                assert np.array_equal(multimodal.decode_png(png), img), (ch, h, w, ft)
+
+
+def test_png_rejects_corruption_and_exotics():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = bytearray(multimodal.encode_png(img))
+    # flip the first IDAT data byte: CRC verify must catch it
+    png[bytes(png).find(b"IDAT") + 4] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(png))
+    # 16-bit depth is out of scope: loud ValueError, not garbage pixels
+    good = multimodal.encode_png(img)
+    ihdr = bytearray(struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    import zlib
+
+    bad = (
+        multimodal.PNG_MAGIC
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + bytes(ihdr)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bad)
+
+
 def test_decode_payload_sniffs_and_degrades():
     import numpy as np
 
@@ -140,10 +184,16 @@ def test_decode_payload_sniffs_and_degrades():
     # a pure tone concentrates energy in one band: max band dominates
     assert feats.max() == 1.0 and sorted(feats)[-2] < 0.9
 
+    png_img = np.full((8, 8, 3), 64, dtype=np.uint8)
+    codec, feats = multimodal.decode_payload(multimodal.encode_png(png_img, filter_type=1))
+    assert codec == "png"
+    assert np.allclose(feats, 64 / 255.0)
+
     assert multimodal.decode_payload(b"just text")[0] == "opaque"
     # corrupt header NEVER raises — soft-degrade (skipped_reason discipline)
     assert multimodal.decode_payload(b"BM\x00corrupt")[0] == "opaque"
     assert multimodal.decode_payload(b"RIFFxxxxWAVE")[0] == "opaque"
+    assert multimodal.decode_payload(multimodal.PNG_MAGIC + b"\x00garbage")[0] == "opaque"
 
 
 def test_decode_features_real_codecs_through_spark(spark):
@@ -154,11 +204,12 @@ def test_decode_features_real_codecs_through_spark(spark):
     rows = [
         ("bmp1", "image", bytearray(multimodal.encode_bmp(img)), (8, 8, 0, "image/bmp")),
         ("wav1", "audio", bytearray(multimodal.encode_wav(s)), (0, 0, 50, "audio/wav")),
+        ("png1", "image", bytearray(multimodal.encode_png(img, filter_type=4)), (8, 8, 0, "image/png")),
         ("txt1", "video", bytearray(b"opaque payload"), (0, 0, 2000, "application/octet-stream")),
     ]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     got = {r["media_id"]: r["codec"] for r in multimodal.decode_features(media).collect()}
-    assert got == {"bmp1": "bmp", "wav1": "wav-pcm", "txt1": "opaque"}
+    assert got == {"bmp1": "bmp", "wav1": "wav-pcm", "png1": "png", "txt1": "opaque"}
 
 
 def test_frame_sample_plan(spark, media_df):
@@ -248,6 +299,7 @@ def test_no_query_has_cartesian_or_rowwise_python(spark, sf_dir):
         "emb_knn_label_vote",    # built on brute_force_topk
         "doc_boilerplate_id",    # 3-row boilerplate DB, contains() theta join (J2)
         "doc_decontaminate",     # 20-row probe set broadcast, contains() theta join
+        "doc_ppl_surprisal_histogram",  # 1-row scalar total, broadcast cross join
     }
     for name, fn in entry.queries().items():
         plan = checks.physical_plan(fn(spark, sf_dir))
