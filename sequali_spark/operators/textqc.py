@@ -702,12 +702,16 @@ def benchmark_decontaminate(
     )
 
 
+MAX_BROADCAST_PROBES = 100_000
+
+
 def decontamination_hits(
     docs: DataFrame,
     probes: DataFrame | None = None,
     n_probes: int = DECON_N_PROBES,
     probe_len: int = DECON_PROBE_LEN,
     min_chars: int = DECON_MIN_CHARS,
+    max_broadcast_probes: int = MAX_BROADCAST_PROBES,
 ) -> DataFrame:
     """Doc-level contamination hits: (doc_id, probe_doc, probe) for
     every document containing a probe string.  ``probes`` defaults to
@@ -719,7 +723,16 @@ def decontamination_hits(
     probe trivially matches its own source doc).  An external benchmark
     table's probe_doc values live in a different id space — excluding a
     corpus doc whose id happens to collide with a benchmark id would
-    silently keep a contaminated document."""
+    silently keep a contaminated document.
+
+    Scale precondition, ENFORCED: this is a broadcast contains()
+    theta-join — O(docs x probes) substring scans — which is the right
+    plan only for benchmark-scale probe sets (KB-MB).  An external
+    probes table larger than ``max_broadcast_probes`` raises instead of
+    silently launching a quadratic scan; route large probe sets through
+    the winnowing equi-join (winnow_overlap_pairs: shared-fingerprint
+    postings scale linearly).  The check is one bounded job
+    (limit(N+1).count()) on a table that is small by contract."""
     self_derived = probes is None
     if self_derived:
         probes = (
@@ -730,6 +743,14 @@ def decontamination_hits(
                 F.col("doc_id").alias("probe_doc"),
                 F.substring("text", 1, probe_len).alias("probe"),
             )
+        )
+    elif probes.limit(max_broadcast_probes + 1).count() > max_broadcast_probes:
+        raise ValueError(
+            f"probes table exceeds max_broadcast_probes={max_broadcast_probes}: "
+            "the broadcast contains() theta-join is O(docs x probes) and only "
+            "correct for benchmark-scale probe sets; use the winnowing "
+            "fingerprint equi-join (dedup.winnow_overlap_pairs) for large "
+            "probe corpora, or raise max_broadcast_probes explicitly"
         )
     cond = F.col("text").contains(F.col("probe"))
     if self_derived:

@@ -50,6 +50,42 @@ class TableIO:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.mode("overwrite").partitionBy(partition_col).parquet(ref)
 
+    def merge_upsert_sql(self, target_ref: str, source_view: str, key_col: str) -> str:
+        """The exact row-level MERGE the label pipeline issues on
+        Iceberg — idempotent keyed upsert (re-running a resumed job
+        updates instead of duplicating).  Kept as a separate method so
+        the seam contract test can pin the statement verbatim."""
+        return (
+            f"MERGE INTO {target_ref} t USING {source_view} s "
+            f"ON t.{key_col} = s.{key_col} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def merge_upsert(self, df: DataFrame, ref: str, key_col: str) -> None:
+        """Idempotent keyed upsert of a labels table.  Iceberg: one
+        row-level MERGE INTO (ACID, the production path).  Parquet
+        emulation: existing rows whose key collides are replaced via
+        left-anti join + union + rewrite — localCheckpoint materializes
+        the merged frame first because Spark refuses to overwrite a
+        path it is still reading from; sandbox-scale only (the rewrite
+        is O(table), which is exactly why production uses Iceberg)."""
+        if self.fmt == "iceberg":
+            view = "_sequali_upsert_src"
+            df.createOrReplaceTempView(view)
+            self.spark.sql(self.merge_upsert_sql(ref, view, key_col))
+            return
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = self.spark.read.parquet(ref)
+        except AnalysisException:
+            df.write.mode("overwrite").parquet(ref)
+            return
+        kept = existing.join(df.select(key_col).distinct(), key_col, "left_anti")
+        merged = kept.unionByName(df).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(ref)
+
     def create_pages_table_sql(self, ref: str) -> str:
         """The Iceberg DDL the pipeline targets in production — hidden
         partitioning by warc_ts day + url bucket (the north rule's

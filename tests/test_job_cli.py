@@ -185,6 +185,28 @@ def test_curation_cli_external_probes(spark, tmp_path):
     assert 1 not in kept_ids and {0, 2} <= kept_ids
 
 
+def test_decontamination_probe_count_guard_is_loud(spark):
+    """An external probes table past the broadcast cap must RAISE and
+    point at the winnow path — never silently launch the O(docs x
+    probes) theta-join (the no-silent-caps discipline)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators.textqc import decontamination_hits
+
+    docs = spark.createDataFrame(
+        [(0, "some document text", "s1", 18)],
+        schema="doc_id long, text string, source string, n_chars long",
+    )
+    probes = spark.range(10).select(
+        F.col("id").alias("probe_doc"), F.concat(F.lit("p"), "id").alias("probe")
+    )
+    # under the cap: builds fine
+    assert decontamination_hits(docs, probes=probes, max_broadcast_probes=10).count() == 0
+    with pytest.raises(ValueError, match="winnow"):
+        decontamination_hits(docs, probes=probes, max_broadcast_probes=9)
+
+
 def test_curation_keeper_reelection_prefers_survivors(spark, tmp_path):
     """A near-dup cluster whose min-id member fails the quality gates
     (or is contaminated) must still keep a clean representative: the

@@ -70,6 +70,82 @@ def test_table_io_falls_back_to_parquet(spark, sf_dir):
     assert "days(warc_ts)" in ddl and "bucket(64, url)" in ddl
 
 
+def test_table_io_iceberg_branch_contract():
+    """Execute the Iceberg branch of every TableIO method against a
+    recording mock catalog — the sandbox has no Iceberg jar, so this is
+    the honest in-sandbox maximum: the exact API calls and the exact
+    MERGE statement the production path issues are pinned verbatim."""
+    calls = []
+
+    class _Loader:
+        def load(self, ref):
+            calls.append(("load", ref))
+            return "LOADED"
+
+    class _Read:
+        def format(self, fmt):
+            calls.append(("format", fmt))
+            return _Loader()
+
+    class _FakeSpark:
+        read = _Read()
+
+        def sql(self, q):
+            calls.append(("sql", q))
+
+    class _WriteTo:
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions",))
+
+    class _FakeDF:
+        def writeTo(self, ref):
+            calls.append(("writeTo", ref))
+            return _WriteTo()
+
+        def createOrReplaceTempView(self, name):
+            calls.append(("view", name))
+
+    io = tables.TableIO(_FakeSpark(), fmt="iceberg")
+    assert io.read("cat.db.pages") == "LOADED"
+    io.write_partitioned(_FakeDF(), "cat.db.labels", "day")
+    io.merge_upsert(_FakeDF(), "cat.db.labels", "url")
+    assert calls == [
+        ("format", "iceberg"),
+        ("load", "cat.db.pages"),
+        ("writeTo", "cat.db.labels"),
+        ("overwritePartitions",),
+        ("view", "_sequali_upsert_src"),
+        (
+            "sql",
+            "MERGE INTO cat.db.labels t USING _sequali_upsert_src s "
+            "ON t.url = s.url "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        ),
+    ]
+
+
+def test_table_io_parquet_merge_upsert_semantics(spark, tmp_path):
+    """The parquet emulation of merge_upsert must match MERGE semantics:
+    matching keys replaced, new keys inserted, others untouched — and a
+    re-run of the same upsert is idempotent."""
+    io = tables.TableIO(spark, fmt="parquet")
+    ref = str(tmp_path / "labels")
+    base = spark.createDataFrame(
+        [("u1", 1), ("u2", 1), ("u3", 1)], schema="url string, version int"
+    )
+    io.merge_upsert(base, ref, "url")
+    upsert = spark.createDataFrame(
+        [("u2", 2), ("u4", 2)], schema="url string, version int"
+    )
+    io.merge_upsert(upsert, ref, "url")
+    got = {r["url"]: r["version"] for r in spark.read.parquet(ref).collect()}
+    assert got == {"u1": 1, "u2": 2, "u3": 1, "u4": 2}
+    io.merge_upsert(upsert, ref, "url")  # idempotent re-run (resume story)
+    got2 = {r["url"]: r["version"] for r in spark.read.parquet(ref).collect()}
+    assert got2 == got
+
+
 # --- multimodal --------------------------------------------------------------
 
 @pytest.fixture()
