@@ -301,6 +301,11 @@ Tuning that mattered (scale lessons, applied in bench/_spark):
 Single-core kernel throughput: ~6,500 docs/sec warm (r2: vectorized
 factorize-based token hashing, batched run-length + trigram kernels;
 r1 was ~2,400 cold / ~4,700 warm).
+
+At-scale dedup (minhash LSH + connected components) and curation
+kill-and-resume datapoints live in BENCH/ATSCALE.md
+(`python scripts/atscale.py`), kept out of this file because
+`--scaling` rewrites it.
 """)
     return summary
 

@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""At-scale empirical datapoints — the companions to SCALE.md's knob math.
+
+Two runs over the deterministic bench corpus (bench.ensure_pages_parquet,
+the same 64-chunk fixed-grid corpus the scaling ladder uses):
+
+- **dedup**: minhash_near_dup_pairs (exact-collapse-first LSH) +
+  connected_components end-to-end at --rows documents; records wall
+  time per phase, pairs emitted, rounds-to-convergence, and shuffle
+  write bytes (total + peak stage, via the Spark status REST API).
+- **curation**: jobs/run_curation.py as a real spark-submit-style
+  subprocess, killed mid-run after the decision-table checkpoint lands,
+  then re-invoked — records both walls and verifies the resume actually
+  reused the checkpoint (resumed_from_checkpoint=true + reconciled
+  stats).
+
+Results are appended to BENCH/ATSCALE.md (a separate file because
+`bench.py --scaling` REWRITES BENCH/BASELINE.md).
+
+Usage: python scripts/atscale.py [--rows 2000000] [--mode dedup|curation|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _shuffle_bytes(spark) -> tuple[int, int]:
+    """(total, peak-stage) shuffle WRITE bytes of this app so far, via
+    the status REST API (the UI must be enabled in the session)."""
+    app_id = spark.sparkContext.applicationId
+    ui = spark.sparkContext.uiWebUrl
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages")
+    )
+    writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+    return sum(writes), max(writes, default=0)
+
+
+def _docs_from_pages(spark, src: str):
+    """Lift the bench pages corpus into the documents shape the dedup
+    operators take: doc_id = xxhash64(url, text) — the corpus contains
+    deliberately RECRAWLED urls (the degenerate class duplicates a url
+    with fresh text), so hashing the url alone would alias distinct
+    docs onto one id and multiply the decision joins; 64-bit collision
+    odds at 2M rows ~1e-7."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(src)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return pages.select(
+        F.abs(F.xxhash64("url", "text")).alias("doc_id"),
+        "text",
+        host.alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def run_dedup(rows: int) -> dict:
+    from bench import ensure_pages_parquet
+    from sequali_spark.operators import dedup
+    from sequali_spark.session import get_spark
+
+    src = ensure_pages_parquet(rows)
+    spark = get_spark(
+        app_name="atscale_dedup",
+        extra_conf={
+            "spark.ui.enabled": "true",  # status REST API for shuffle bytes
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
+    )
+    docs = _docs_from_pages(spark, src).select("doc_id", "text")
+    n_docs = docs.count()
+
+    t0 = time.time()
+    pairs = dedup.minhash_pairs_for(
+        docs, threshold=0.8, collapse_exact=True
+    ).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+
+    cc_stats: dict = {}
+    t1 = time.time()
+    comp = dedup.connected_components(pairs, stats=cc_stats).persist()
+    n_members = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    t_cc = time.time() - t1
+
+    shuffle_total, shuffle_peak = _shuffle_bytes(spark)
+    pairs.unpersist()
+    comp.unpersist()
+    spark.stop()
+    return {
+        "rows": n_docs,
+        "near_dup_pairs": n_pairs,
+        "pairs_wall_sec": round(t_pairs, 1),
+        "cc_wall_sec": round(t_cc, 1),
+        "cc_rounds": cc_stats.get("rounds"),
+        "cc_converged": cc_stats.get("converged"),
+        "cluster_members": n_members,
+        "clusters": n_clusters,
+        "shuffle_write_bytes_total": shuffle_total,
+        "shuffle_write_bytes_peak_stage": shuffle_peak,
+    }
+
+
+def run_curation(rows: int) -> dict:
+    from bench import ensure_pages_parquet
+    from sequali_spark.session import get_spark
+
+    src = ensure_pages_parquet(rows)
+    docs_dir = f"/tmp/sequali_atscale_docs_{rows}"
+    if not os.path.exists(os.path.join(docs_dir, "documents.parquet", "_SUCCESS")):
+        spark = get_spark(app_name="atscale_prep")
+        _docs_from_pages(spark, src).write.mode("overwrite").parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        )
+        spark.stop()
+
+    out = f"/tmp/sequali_atscale_curated_{rows}"
+    dec_sentinel = out + "_decisions/_SUCCESS"
+    man_sentinel = out + "_decisions_manifest/_SUCCESS"
+    for p in (out, out + "_decisions", out + "_decisions_manifest"):
+        subprocess.run(["rm", "-rf", p], check=False)
+    stats1, stats2 = "/tmp/atscale_cur1.json", "/tmp/atscale_cur2.json"
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    # run 1: kill after the decision-table checkpoint lands (the
+    # expensive stage) but before the output join finishes — the
+    # mid-run-crash scenario the stage resume exists for
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", docs_dir, "--output", out, "--stats", stats1,
+        ],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    killed = False
+    while proc.poll() is None:
+        if os.path.exists(dec_sentinel) and os.path.exists(man_sentinel):
+            time.sleep(0.3)  # let the manifest writer finish its commit
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.2)
+    proc.wait()
+    t_run1 = time.time() - t0
+
+    # run 2: must resume from the checkpoint and finish the cheap tail
+    t1 = time.time()
+    proc2 = subprocess.run(
+        [
+            sys.executable, "jobs/run_curation.py",
+            "--input", docs_dir, "--output", out, "--stats", stats2,
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    t_run2 = time.time() - t1
+    if proc2.returncode != 0:
+        raise RuntimeError(proc2.stderr[-3000:])
+    stats = json.load(open(stats2))
+    reconciled = stats["kept"] + sum(stats["dropped"].values()) == stats["input_docs"]
+    return {
+        "rows": stats["input_docs"],
+        "killed_mid_run": killed,
+        "run1_wall_sec_until_kill": round(t_run1, 1),
+        "run2_wall_sec_resumed": round(t_run2, 1),
+        "resumed_from_checkpoint": stats["resumed_from_checkpoint"],
+        "stats_reconciled": reconciled,
+        "kept": stats["kept"],
+        "dropped": stats["dropped"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--mode", choices=["dedup", "curation", "all"], default="all")
+    args = ap.parse_args()
+
+    results: dict[str, dict] = {}
+    if args.mode in ("dedup", "all"):
+        results["dedup"] = run_dedup(args.rows)
+        print(json.dumps({"dedup": results["dedup"]}))
+    if args.mode in ("curation", "all"):
+        results["curation"] = run_curation(args.rows)
+        print(json.dumps({"curation": results["curation"]}))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ATSCALE.md"), "a") as f:
+        f.write(f"\n## atscale run — rows={args.rows}\n\n```json\n")
+        f.write(json.dumps(results, indent=2))
+        f.write("\n```\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -584,7 +584,10 @@ def ngram_jaccard_pairs(
 # --- connected components (iterative) ---------------------------------------
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15, strict: bool = True
+    pairs: DataFrame,
+    max_iter: int = 15,
+    strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs — the iterative
     algorithm that turns pairwise matches into dedup clusters with a
@@ -606,6 +609,10 @@ def connected_components(
     clusters — ``strict=True`` (default) raises; ``strict=False`` logs a
     warning and returns the partial labels (callers that tolerate
     over-segmentation, e.g. best-effort reporting, opt in explicitly).
+
+    ``stats``, when passed, is filled with {"rounds": r, "converged":
+    bool} — the rounds-to-convergence evidence an at-scale run records
+    (rounds = graph diameter of the dup clusters).
     """
     import warnings
     edges = (
@@ -621,8 +628,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     changed = 0
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")
@@ -649,6 +658,9 @@ def connected_components(
             labels = updated.drop("_changed")
             if changed == 0:
                 break
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["converged"] = changed == 0
         if changed != 0:
             msg = (
                 f"connected_components did not converge in {max_iter} rounds "
