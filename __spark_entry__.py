@@ -303,8 +303,9 @@ def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver judges exactly the FIRST 50 entries
-    (CORRECTNESS_r01-r03 are precisely that prefix), so the dict is laid
-    out in three blocks:
+    (CORRECTNESS_r01-r03 judged the PRE-rotation prefix; the prefix
+    below is first judged in round 4), so the dict is laid out in three
+    blocks:
 
     1. entries 1-50: every oracle-backed query we want judged — all
        rows+schema+hash checkable.  61 oracles compete for 50 slots.

@@ -139,16 +139,21 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 
 def _probes_fingerprint(probes: DataFrame | None) -> str:
     """Content fingerprint of the external probes table (row count +
-    order-independent xxhash64 XOR).  The manifest must fingerprint the
-    probes by CONTENT, not path: rewriting the probes parquet in place
-    between runs would otherwise pass the path-equality check and
-    silently reuse decontamination decisions computed from the old
-    probe set.  One bounded collect of a single aggregate row."""
+    order-independent SUM of row hashes; int64 wraparound is
+    commutative, so partition order cannot change it).  SUM, not XOR:
+    xor cancels duplicated rows (x^x=0), so two different tables whose
+    differing rows each appear an even number of times would collide
+    structurally — under a sum, duplicates accumulate.  The manifest
+    must fingerprint the probes by CONTENT, not path: rewriting the
+    probes parquet in place between runs would otherwise pass the
+    path-equality check and silently reuse decontamination decisions
+    computed from the old probe set.  One bounded collect of a single
+    aggregate row."""
     if probes is None:
         return ""
     r = probes.agg(
         F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(probe_doc, probe))").alias("h"),
+        F.sum(F.xxhash64("probe_doc", "probe")).alias("h"),
     ).collect()[0]
     return f"{r['n']}:{r['h']}"
 

@@ -133,6 +133,13 @@ def event_type_hourly_pivot(
     path.  ``n_other`` is the drift canary: an event type absent from
     the vocabulary lands there instead of silently vanishing from the
     report, so vocabulary drift is visible on both engines."""
+    if not event_types:
+        raise ValueError("event_types vocabulary must be non-empty")
+    if "other" in event_types:
+        raise ValueError(
+            "'other' collides with the n_other drift column; rename the "
+            "vocabulary entry or the canary"
+        )
     e = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
     aggs = [

@@ -130,6 +130,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# decode-size cap: thumbnails are the production shape; anything larger
+# soft-degrades to opaque instead of risking executor memory
+MAX_PNG_DECODED_BYTES = 64 * 1024 * 1024
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -242,9 +245,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if depth != 8 or color_type not in (2, 6) or comp != 0 or interlace != 0:
         raise ValueError("only 8-bit RGB/RGBA non-interlaced supported")
     ch = 3 if color_type == 2 else 4
-    raw = zlib.decompress(b"".join(idat))
     stride = 1 + w * ch
-    if len(raw) != stride * h:
+    # bound BEFORE inflating: a small crafted PNG can declare huge dims
+    # and a zeros IDAT that inflates to gigabytes — the decode must
+    # degrade, never OOM the executor (decode_payload's contract)
+    if w * h * ch > MAX_PNG_DECODED_BYTES:
+        raise ValueError(
+            f"decoded size {w}x{h}x{ch} exceeds MAX_PNG_DECODED_BYTES"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), stride * h)
+    if dec.unconsumed_tail or not dec.eof or len(raw) != stride * h:
         raise ValueError("IDAT size mismatch")
     out = np.zeros((h, w * ch), dtype=np.uint8)
     prev = np.zeros(w * ch, dtype=np.int32)
@@ -351,9 +362,10 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
             img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
             return "pil", image_features(img)
     # OSError covers PIL's UnidentifiedImageError (its subclass) and
-    # truncated-file reads — a corrupt payload must NEVER fail the
-    # batch, only degrade this row to the opaque path
-    except (ValueError, struct.error, OSError, zlib.error):
+    # truncated-file reads; MemoryError covers hostile dims that slip
+    # past a decoder's own bounds — a corrupt payload must NEVER fail
+    # the batch, only degrade this row to the opaque path
+    except (ValueError, struct.error, OSError, zlib.error, MemoryError):
         pass  # corrupt header -> opaque fallback below
     return "opaque", _opaque_features(payload)
 

@@ -185,6 +185,22 @@ def test_curation_cli_external_probes(spark, tmp_path):
     assert 1 not in kept_ids and {0, 2} <= kept_ids
 
 
+def test_probes_fingerprint_sees_duplicated_rows(spark):
+    """The content fingerprint must distinguish tables whose differing
+    rows appear an even number of times — an XOR of row hashes cancels
+    duplicates (x^x=0) and would collide these two structurally."""
+    from jobs.run_curation import _probes_fingerprint
+
+    a = spark.createDataFrame(
+        [(900, "A"), (901, "B"), (901, "B")], schema="probe_doc long, probe string"
+    )
+    b = spark.createDataFrame(
+        [(900, "A"), (77, "Z"), (77, "Z")], schema="probe_doc long, probe string"
+    )
+    assert _probes_fingerprint(a) != _probes_fingerprint(b)
+    assert _probes_fingerprint(None) == ""
+
+
 def test_decontamination_probe_count_guard_is_loud(spark):
     """An external probes table past the broadcast cap must RAISE and
     point at the winnow path — never silently launch the O(docs x

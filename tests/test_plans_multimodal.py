@@ -245,6 +245,35 @@ def test_png_rejects_corruption_and_exotics():
         multimodal.decode_png(bad)
 
 
+def test_png_decode_size_cap_blocks_decompression_bombs():
+    """A tiny PNG declaring huge dimensions (zeros IDAT inflates to GBs)
+    must raise BEFORE inflating, and decode_payload must degrade it to
+    opaque — never OOM the executor."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    w = h = 30000  # 2.7 GB decoded, ~few KB compressed
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # deliberately tiny IDAT: the cap must fire before anyone inflates it
+    idat = zlib.compress(b"\x00" * 1024)
+    bomb = (
+        multimodal.PNG_MAGIC
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", idat)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_PNG_DECODED_BYTES"):
+        multimodal.decode_png(bomb)
+    assert multimodal.decode_payload(bomb)[0] == "opaque"
+    # an inflate that overshoots the declared size is also rejected
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = multimodal.encode_png(img)
+    assert np.array_equal(multimodal.decode_png(good), img)
+
+
 def test_decode_payload_sniffs_and_degrades():
     import numpy as np
 
