@@ -245,9 +245,12 @@ def minhash_pairs_for(
     threshold: float = 0.7,
     max_bucket: int = 256,
     collapse_exact: bool = False,
+    edge_mode: str = "pairs",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + signature-similarity verify,
-    over any (id, text) DataFrame.
+    over any (id, text) DataFrame.  ``edge_mode`` (see
+    minhash_pairs_from_sigs): "pairs" = pair-complete bucket head,
+    "ring" = linear-volume clustering edges.
 
     Scale path: explode band keys -> self-join on (band_idx, band_hash)
     bucket — the canonical shingle->minhash->band->bucket-join plan; the
@@ -279,7 +282,13 @@ def minhash_pairs_for(
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     if collapse_exact:
         sigs = collapse_exact_reps(sigs, id_col=id_col)
-    return minhash_pairs_from_sigs(sigs, id_col=id_col, threshold=threshold, max_bucket=max_bucket)
+    return minhash_pairs_from_sigs(
+        sigs,
+        id_col=id_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        edge_mode=edge_mode,
+    )
 
 
 def minhash_pairs_from_sigs(
@@ -287,9 +296,33 @@ def minhash_pairs_from_sigs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     max_bucket: int = 256,
+    edge_mode: str = "pairs",
 ) -> DataFrame:
     """Band bucket-join + signature verify over a prepared signature
-    frame (see minhash_pairs_for for the plan rationale)."""
+    frame (see minhash_pairs_for for the plan rationale).
+
+    ``edge_mode`` picks the candidate topology per band bucket:
+
+    - ``"pairs"`` (default): all-pairs within the (star-capped) bucket
+      head — the PAIR-COMPLETE surface for pair-level queries.  Volume
+      is sum over buckets of min(B, cap)^2/2: quadratic inside buckets,
+      so on a near-dup-DENSE corpus (boilerplate-heavy web data, where
+      over-cap buckets are common, not pathological) candidates explode
+      — measured 484M candidate rows on the 2M-row bench corpus, whose
+      2x512B signature re-attach spilled >70 GB of shuffle.
+    - ``"ring"``: each bucket member pairs with its successor in the
+      salted bucket order — B-1 edges per bucket, total volume <=
+      n_bands * N rows (LINEAR in corpus size; ids only until the
+      verify join).  Connectivity within a bucket is preserved (a
+      path), and each doc gets n_bands independently-salted neighbor
+      draws, so a genuine near-dup cluster stays connected with
+      overwhelming probability after per-edge verification.  Pair-level
+      completeness is deliberately given up — this is the CLUSTERING
+      surface (dedup_keepers / connected components), the shape
+      production dedup runs at 100 TB.
+    """
+    if edge_mode not in ("pairs", "ring"):
+        raise ValueError(f"unknown edge_mode {edge_mode!r}")
     _release_prior_cache("minhash")
     sigs = sigs.select(id_col, "signature", "bands").persist()
     _CACHED["minhash"] = sigs
@@ -297,6 +330,20 @@ def minhash_pairs_from_sigs(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
+    if edge_mode == "ring":
+        bucket_w = W.partitionBy("band_idx", "band_hash").orderBy(
+            F.xxhash64(F.col(id_col), F.col("band_hash")), F.col(id_col)
+        )
+        nxt = F.lead(id_col).over(bucket_w)
+        cand = (
+            bands.withColumn("_next", nxt)
+            .filter(F.col("_next").isNotNull())
+            .select(
+                F.least(F.col(id_col), F.col("_next")).alias("doc_a"),
+                F.greatest(F.col(id_col), F.col("_next")).alias("doc_b"),
+            )
+        )
+        return _verify_candidates(cand, sigs, id_col, threshold)
     overflow_pairs = None
     if max_bucket:
         # one shuffle on the bucket key; the self-join below reuses it.
@@ -336,6 +383,16 @@ def minhash_pairs_from_sigs(
     )
     if overflow_pairs is not None:
         cand = cand.unionByName(overflow_pairs)
+    return _verify_candidates(cand, sigs, id_col, threshold)
+
+
+def _verify_candidates(
+    cand: DataFrame, sigs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """distinct + per-unique-pair signature re-attach + est_jaccard
+    verify — candidates travel as ids only until here, so the 2x512B
+    signature width is paid once per UNIQUE pair, never per band
+    collision."""
     cand = cand.distinct()
     a = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -690,7 +747,13 @@ def dedup_keepers(
 
     The exact-first composition is what makes this scale-safe: D
     byte-identical docs cost one groupBy here instead of D^2 LSH
-    candidates (VERDICT r1 scale-killer #4).  ``docs`` lets a caller
+    candidates (VERDICT r1 scale-killer #4).  Candidate edges use RING
+    topology (edge_mode="ring"): keeper election only needs cluster
+    CONNECTIVITY, not pair completeness, and ring edges are linear in
+    corpus size where bucket-head all-pairs is quadratic inside buckets
+    — on the near-dup-dense 2M bench corpus the pairs topology produced
+    484M candidates and >70 GB of verify-join spill; ring caps it at
+    n_bands * N id-only rows.  ``docs`` lets a caller
     (jobs/run_curation.py) share one scan across operators."""
     if docs is None:
         docs = load(spark, sf_dir, "documents")
@@ -699,7 +762,9 @@ def dedup_keepers(
     _CACHED["keepers"] = labeled
     rep_map = labeled.select("doc_id", "rep")
     rep_sigs = labeled.filter(F.col("doc_id") == F.col("rep"))
-    pairs = minhash_pairs_from_sigs(rep_sigs, threshold=threshold).select("doc_a", "doc_b")
+    pairs = minhash_pairs_from_sigs(
+        rep_sigs, threshold=threshold, edge_mode="ring"
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("rep_id"), "component"
     )

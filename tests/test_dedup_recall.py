@@ -276,6 +276,48 @@ def test_ngram_jaccard_cap_exact_below_estimates_above(spark, tmp_path):
     )
 
 
+def test_ring_edges_cluster_recall(spark, tmp_path):
+    """edge_mode='ring' gives up pair completeness but must preserve
+    CLUSTER membership: a planted 40-member near-dup family ends up in
+    ONE connected component, with candidate volume linear in corpus
+    size (<= n_bands * N edges, vs B^2/2 per bucket for 'pairs')."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"{w}ring" for w in ("alpha", "beta", "gamma", "delta", "web", "page")]
+    base = " ".join(rng.choice(words) for _ in range(200))
+    rows = []
+    toks = base.split(" ")
+    for i in range(40):  # 40 near-dups: one word altered per member
+        t = list(toks)
+        t[5 + i] = f"alt{i}"
+        rows.append((i, " ".join(t)))
+    for j in range(100):  # unrelated background docs
+        rows.append((100 + j, " ".join(rng.choice(words) + f"x{j}" for _ in range(80))))
+    d = tmp_path / "ring"
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    docs = dedup.load(spark, str(d), "documents")
+    ring = dedup.minhash_pairs_for(
+        docs, threshold=0.8, collapse_exact=True, edge_mode="ring"
+    ).select("doc_a", "doc_b").persist()
+    n_edges = ring.count()
+    # linear bound: at most n_bands edges per doc (before distinct the
+    # topology emits B-1 per bucket; verified pairs are far fewer)
+    assert n_edges <= dedup.LSH_BANDS * 140
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(ring).collect()
+    }
+    ring.unpersist()
+    # every cluster member reaches the same component
+    got = {comp.get(i) for i in range(40)}
+    assert got == {0}, f"cluster split into components {got}"
+    # background docs never join the cluster
+    assert all(comp.get(100 + j, 100 + j) != 0 for j in range(100))
+
+
 def test_dedup_keepers_folds_exact_dups(spark, mega_cluster_dir):
     rows = dedup.dedup_keepers(spark, mega_cluster_dir, threshold=0.8).collect()
     by_comp = {}
