@@ -38,9 +38,12 @@ What to look for, per query:
 - **doc_overrep_shingles** — shingle explode stays inside one projection;
   `HashAggregate` partial/final pair around a single exchange on the
   shingle; `PushedFilters`/`ReadSchema` show only `text` leaves storage.
-- **dedup_minhash_pairs** — one Python stage for signatures; the band
-  self-join exchanges ids+band hashes only (no signature arrays);
-  signatures re-attached via two joins against the cached frame.
+- **dedup_minhash_pairs** — one Python stage for signatures; exact-rep
+  collapse is a map-side-combining `HashAggregate` on the digest (r4:
+  was a window); the band self-join exchanges ids+band hashes only (no
+  signature arrays); signatures re-attached via two joins against the
+  cached frame.  (The keepers/clustering path uses ring edges instead
+  of the head self-join — linear volume; see SCALE.md 2b.)
 - **dedup_fingerprint_histogram** — two HashAggregate levels on
   shrinking data (fingerprint -> count, count -> n), pure JVM.
 - **events_asof_join** — single exchange on user_id, one sort, one
