@@ -444,7 +444,11 @@ def _simhash(text: str, bits: int = 64) -> int:
 
 
 def simhash_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 6, max_bucket: int = 256
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 6,
+    max_bucket: int = 256,
+    edge_mode: str = "pairs",
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints bucketed into
     ``max_hamming + 1`` bit-blocks — pigeonhole: two hashes within
@@ -472,7 +476,14 @@ def simhash_near_dup_pairs(
       guaranteed, never a silent full-bucket drop).  Bounded tables are
       the reference's own discipline (_qcmodule.c:3429-3431,
       4248-4253).
+
+    ``edge_mode="ring"`` swaps the bucket-head all-pairs for
+    successor-in-salted-order edges (linear volume, clustering surface)
+    — same trade as minhash_pairs_from_sigs: use it when the output
+    feeds connected components on a near-dup-dense corpus.
     """
+    if edge_mode not in ("pairs", "ring"):
+        raise ValueError(f"unknown edge_mode {edge_mode!r}")
     import hashlib as _hl
 
     d = load(spark, sf_dir, "documents")
@@ -521,6 +532,20 @@ def simhash_near_dup_pairs(
         "doc_id",
         F.explode(F.array(*block_cols)).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.chunk")
+    if edge_mode == "ring":
+        bucket_w = W.partitionBy("chunk_idx", "chunk").orderBy(
+            F.xxhash64(F.col("doc_id"), F.col("chunk")), F.col("doc_id")
+        )
+        nxt = F.lead("doc_id").over(bucket_w)
+        cand = (
+            chunks.withColumn("_next", nxt)
+            .filter(F.col("_next").isNotNull())
+            .select(
+                F.least(F.col("doc_id"), F.col("_next")).alias("doc_a"),
+                F.greatest(F.col("doc_id"), F.col("_next")).alias("doc_b"),
+            )
+        )
+        return _verify_hamming(cand, fps, max_hamming)
     overflow_pairs = None
     if max_bucket:
         bucket_w = W.partitionBy("chunk_idx", "chunk")
@@ -553,6 +578,12 @@ def simhash_near_dup_pairs(
     )
     if overflow_pairs is not None:
         cand = cand.unionByName(overflow_pairs)
+    return _verify_hamming(cand, fps, max_hamming)
+
+
+def _verify_hamming(cand: DataFrame, fps: DataFrame, max_hamming: int) -> DataFrame:
+    """distinct + per-unique-pair fingerprint re-attach + exact popcount
+    verify (the simhash analogue of _verify_candidates)."""
     cand = cand.distinct()
     a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sh_a"))
     b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sh_b"))

@@ -212,6 +212,12 @@ def test_simhash_drops_degenerate_and_identical(spark, mega_cluster_dir):
     assert all(a not in (80, 81, 82) and b not in (80, 81, 82) for a, b in got)
     assert all(not (a < 80 and b < 80) for a, b in got)
     assert (83, 84) in got
+    # ring topology (the clustering surface) still finds the near pair:
+    # a 2-member bucket's ring edge IS the pair
+    ring = dedup.simhash_near_dup_pairs(
+        spark, mega_cluster_dir, max_hamming=6, edge_mode="ring"
+    )
+    assert (83, 84) in {(r["doc_a"], r["doc_b"]) for r in ring.collect()}
 
 
 def test_winnow_stop_fingerprint_cap(spark, mega_cluster_dir):
