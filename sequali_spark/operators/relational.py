@@ -181,6 +181,9 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     i64 = 9223372036854775807
+    # global window over the PER-PART-TYPE aggregate (~150 rows) — the
+    # single-partition exchange is safe only because the frame is an
+    # aggregate, never row-level data
     total_dec = F.sum(F.col("revenue_cents").cast("decimal(19,0)")).over(W.partitionBy())
     share = F.when(
         F.col("revenue_cents") <= F.lit(i64 // 10000),

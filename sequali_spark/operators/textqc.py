@@ -582,6 +582,8 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mass_dec"),
         )
     )
+    # global window over the PER-SOURCE aggregate (~20 rows) — safe only
+    # because the frame is an aggregate, never row-level data
     total = F.sum("tokens").over(W.partitionBy())
     marked = per.withColumn("_total", total)
     mass_ok = F.col("mass_dec") <= F.lit(_I64_MAX)
