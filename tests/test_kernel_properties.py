@@ -213,3 +213,25 @@ def test_band_keys_match_scalar_mix_loop(seed):
             for v in sigs[d, bi * rows : (bi + 1) * rows]:
                 h = (h * 31 + int(v)) & 0x7FFFFFFFFFFFFFFF
             assert got[d, bi] == h, (d, bi)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([3, 4]),
+    st.integers(0, 4),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+    """decode(encode(img, any filter)) == img for arbitrary dims,
+    RGB/RGBA, and every scanline filter — the property the deterministic
+    round-trip test samples, randomized."""
+    import numpy as np
+
+    from sequali_spark.sources import multimodal
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    png = multimodal.encode_png(img, filter_type=filter_type)
+    assert np.array_equal(multimodal.decode_png(png), img)
