@@ -127,33 +127,24 @@ def curate(
     )
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Existence check through the Hadoop FileSystem API so resume works
-    on hdfs://, s3a://, etc. — driver-local os.path.exists only sees the
-    local filesystem."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
-
-
 def _probes_fingerprint(probes: DataFrame | None) -> str:
     """Content fingerprint of the external probes table (row count +
-    order-independent SUM of row hashes; int64 wraparound is
-    commutative, so partition order cannot change it).  SUM, not XOR:
-    xor cancels duplicated rows (x^x=0), so two different tables whose
+    order-independent EXACT sum of row hashes).  SUM, not XOR: xor
+    cancels duplicated rows (x^x=0), so two different tables whose
     differing rows each appear an even number of times would collide
-    structurally — under a sum, duplicates accumulate.  The manifest
-    must fingerprint the probes by CONTENT, not path: rewriting the
-    probes parquet in place between runs would otherwise pass the
-    path-equality check and silently reuse decontamination decisions
-    computed from the old probe set.  One bounded collect of a single
-    aggregate row."""
+    structurally — under a sum, duplicates accumulate.  DECIMAL(38,0),
+    not int64: ANSI mode (Spark 4 default) raises on int64 overflow
+    and a sum of 63-bit hashes overflows after a handful of rows.  The
+    manifest must fingerprint the probes by CONTENT, not path:
+    rewriting the probes parquet in place between runs would otherwise
+    pass the path-equality check and silently reuse decontamination
+    decisions computed from the old probe set.  One bounded collect of
+    a single aggregate row."""
     if probes is None:
         return ""
     r = probes.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("probe_doc", "probe")).alias("h"),
+        F.sum(F.xxhash64("probe_doc", "probe").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return f"{r['n']}:{r['h']}"
 
@@ -216,13 +207,14 @@ def main() -> None:
     # a checkpoint is reusable ONLY if it was produced by the same
     # input + parameters: silently reusing decisions computed with a
     # different --min-gates/--input would curate with stale semantics
+    from sequali_spark.runtime.checkpoint import (
+        stage_is_reusable,
+        write_stage_manifest,
+    )
+
     manifest_rows = _manifest(args, probes)
-    resumed = (
-        (not args.force)
-        and _fs_exists(spark, dec_path + "/_SUCCESS")
-        and _fs_exists(spark, man_path + "/_SUCCESS")
-        and spark.read.schema(MANIFEST_SCHEMA).parquet(man_path).collect()
-        == spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).collect()
+    resumed = (not args.force) and stage_is_reusable(
+        spark, dec_path, man_path, manifest_rows, MANIFEST_SCHEMA
     )
     if not resumed:
         curate(
@@ -233,9 +225,7 @@ def main() -> None:
             probes=probes,
             docs=docs,
         ).write.mode("overwrite").parquet(dec_path)
-        spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(man_path)
+        write_stage_manifest(spark, man_path, manifest_rows, MANIFEST_SCHEMA)
     decisions = spark.read.parquet(dec_path).persist()
 
     curated = docs.join(

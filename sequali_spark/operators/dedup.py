@@ -791,12 +791,23 @@ def dedup_keepers(
     _release_prior_cache("keepers")
     labeled = exact_rep_labeled_sigs(docs).persist()
     _CACHED["keepers"] = labeled
+    return keepers_from_labeled_sigs(labeled, threshold=threshold)
+
+
+def keepers_from_labeled_sigs(
+    labeled: DataFrame, threshold: float = 0.8, cc_stats: dict | None = None
+) -> DataFrame:
+    """The keeper-election tail over a prepared labeled-signature frame
+    (doc_id, rep, digest, signature, bands) — split out so
+    jobs/run_dedup.py can resume from a CHECKPOINTED signature table
+    (the expensive text-scanning stage) without re-sketching the
+    corpus.  See dedup_keepers for semantics."""
     rep_map = labeled.select("doc_id", "rep")
     rep_sigs = labeled.filter(F.col("doc_id") == F.col("rep"))
     pairs = minhash_pairs_from_sigs(
         rep_sigs, threshold=threshold, edge_mode="ring"
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
+    comp = connected_components(pairs, stats=cc_stats).select(
         F.col("doc_id").alias("rep_id"), "component"
     )
     # every doc's component: its representative's near-dup component if

@@ -185,6 +185,80 @@ def test_curation_cli_external_probes(spark, tmp_path):
     assert 1 not in kept_ids and {0, 2} <= kept_ids
 
 
+def test_dedup_job_cli_checkpoints_signatures(spark, tmp_path):
+    """jobs/run_dedup.py: the signature stage (the only pass over text)
+    is checkpointed and reused across invocations — including a
+    --threshold change (sketches are threshold-independent) — while an
+    in-place rewrite of the input invalidates it (content fingerprint,
+    not path equality)."""
+    import pandas as pd
+
+    import random
+
+    rng = random.Random(3)
+
+    def prose(vocab):
+        words = [f"{w}{vocab}" for w in ("alpha", "beta", "gamma", "delta", "web")]
+        return " ".join(rng.choice(words) for _ in range(120))
+
+    # 6 mutually-dissimilar docs (per-doc vocab => no shared shingles)
+    rows = [(i, prose(f"v{i}"), "s1") for i in range(6)]
+    base = prose("dup")
+    rows += [(10, base, "s2"), (11, base, "s2")]  # exact dup pair
+    near = prose("near")
+    rows += [(20, near, "s2"), (21, near + " x", "s2")]  # near-dup pair
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    out = str(tmp_path / "dedup")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+
+    def run(stats_name, *extra):
+        stats_path = str(tmp_path / stats_name)
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_dedup.py",
+                "--input", str(d), "--output", out, "--stats", stats_path,
+                *extra,
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.load(open(stats_path))
+
+    s1 = run("s1.json")
+    assert s1["resumed_signatures"] is False
+    assert s1["input_docs"] == 10 and s1["exact_reps"] == 9  # 10/11 collapse
+    assert s1["keepers"] == s1["clusters"]
+    assert s1["clustered_docs"] >= 4  # the exact pair + the near pair
+    keepers = {
+        r["doc_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert keepers[10]["keep_doc"] and not keepers[11]["keep_doc"]
+    assert keepers[20]["keep_doc"] and not keepers[21]["keep_doc"]
+
+    # re-run: signatures reused, identical decisions
+    s2 = run("s2.json")
+    assert s2["resumed_signatures"] is True
+    assert {k: v for k, v in s2.items() if k != "resumed_signatures"} == {
+        k: v for k, v in s1.items() if k != "resumed_signatures"
+    }
+
+    # threshold change: sketches still reused, edges recomputed
+    s3 = run("s3.json", "--threshold", "0.5")
+    assert s3["resumed_signatures"] is True and s3["threshold"] == 0.5
+
+    # in-place input rewrite: content fingerprint forces a re-sketch
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2["doc_id"] == 21, "doc_id"] = 22
+    spark.createDataFrame(pdf2).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    s4 = run("s4.json")
+    assert s4["resumed_signatures"] is False
+
+
 def test_probes_fingerprint_sees_duplicated_rows(spark):
     """The content fingerprint must distinguish tables whose differing
     rows appear an even number of times — an XOR of row hashes cancels
