@@ -561,9 +561,12 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0); emitted int64 columns NULL out — identically on both
     engines — when the exact value leaves the int64 domain
     (mass > 2^63-1 for zipf_mass; mass > (2^63-1)/1e6 or
-    tokens*total > 2^63-1 for the ppm).  Spark's non-ANSI int64 would
-    otherwise wrap silently while DuckDB raises; NULL is the one
-    cross-engine-identical loud answer.  At corpus scales beyond the
+    tokens*total > 2^63-1 for the ppm).  Unguarded, the engines would
+    diverge loudly and differently (this runtime's Spark is ANSI-on and
+    raises, like DuckDB — a non-ANSI deployment would wrap silently);
+    the when() guards short-circuit so the narrowing cast never
+    executes out of range, and NULL is the one
+    cross-engine-identical answer.  At corpus scales beyond the
     guard, compute per shard or read the decimal-domain mass off the
     internal aggregate."""
     d = load(spark, sf_dir, "documents")
