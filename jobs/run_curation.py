@@ -128,25 +128,18 @@ def curate(
 
 
 def _probes_fingerprint(probes: DataFrame | None) -> str:
-    """Content fingerprint of the external probes table (row count +
-    order-independent EXACT sum of row hashes).  SUM, not XOR: xor
-    cancels duplicated rows (x^x=0), so two different tables whose
-    differing rows each appear an even number of times would collide
-    structurally — under a sum, duplicates accumulate.  DECIMAL(38,0),
-    not int64: ANSI mode (Spark 4 default) raises on int64 overflow
-    and a sum of 63-bit hashes overflows after a handful of rows.  The
-    manifest must fingerprint the probes by CONTENT, not path:
-    rewriting the probes parquet in place between runs would otherwise
-    pass the path-equality check and silently reuse decontamination
-    decisions computed from the old probe set.  One bounded collect of
-    a single aggregate row."""
+    """Content fingerprint of the external probes table (see
+    runtime.checkpoint.content_fingerprint for the sum-not-xor /
+    decimal-not-int64 rationale).  The manifest must fingerprint the
+    probes by CONTENT, not path: rewriting the probes parquet in place
+    between runs would otherwise pass the path-equality check and
+    silently reuse decontamination decisions computed from the old
+    probe set."""
     if probes is None:
         return ""
-    r = probes.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64("probe_doc", "probe").cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return f"{r['n']}:{r['h']}"
+    from sequali_spark.runtime.checkpoint import content_fingerprint
+
+    return content_fingerprint(probes, "probe_doc", "probe")
 
 
 def _manifest(args, probes: DataFrame | None = None) -> list[tuple]:
@@ -208,6 +201,7 @@ def main() -> None:
     # input + parameters: silently reusing decisions computed with a
     # different --min-gates/--input would curate with stale semantics
     from sequali_spark.runtime.checkpoint import (
+        invalidate_stage_manifest,
         stage_is_reusable,
         write_stage_manifest,
     )
@@ -217,6 +211,9 @@ def main() -> None:
         spark, dec_path, man_path, manifest_rows, MANIFEST_SCHEMA
     )
     if not resumed:
+        # delete-manifest-first: a crash mid-recompute must never leave
+        # the previous manifest matching freshly-overwritten decisions
+        invalidate_stage_manifest(spark, man_path)
         curate(
             spark,
             args.input,

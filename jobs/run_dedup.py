@@ -15,10 +15,11 @@ Stage layout (the resume story):
            exact-dup digest + 64-perm minhash + band keys per doc,
            written to <output>_sigs with a one-row manifest of the
            producing invocation.  The manifest fingerprints the INPUT
-           BY CONTENT (row count + order-independent sum of id hashes,
-           one cheap single-column scan), not just by path — rewriting
-           the input in place forces a re-sketch instead of silently
-           deduplicating stale signatures.  The sketch is
+           BY CONTENT (row count + order-independent exact sum of
+           (doc_id, text) row hashes — one scan, still far cheaper
+           than the sketch pass it guards), not just by path — any
+           in-place rewrite of ids OR text forces a re-sketch instead
+           of silently deduplicating stale signatures.  The sketch is
            threshold-INDEPENDENT, so re-running with a different
            --threshold reuses stage 1 and recomputes only stage 2.
   stage 2  EDGES + CLUSTERS (cheap relative to the text scan):
@@ -40,22 +41,8 @@ import json
 from pyspark.sql import functions as F
 
 SIGS_MANIFEST_SCHEMA = (
-    "input string, n_minhash int, lsh_bands int, n_docs long, id_hash_sum string"
+    "input string, n_minhash int, lsh_bands int, n_docs long, content_fp string"
 )
-
-
-def _input_fingerprint(docs) -> tuple[int, str]:
-    """(row count, order-independent EXACT sum of doc_id hashes as a
-    decimal string) — one cheap single-column scan.  Sum, not xor, so
-    duplicated rows count (xor cancels x^x); DECIMAL(38,0), not int64,
-    because ANSI mode (Spark 4 default) raises on int64 overflow and a
-    corpus-sized sum of 63-bit hashes overflows immediately — the
-    decimal domain is exact up to ~10^19 rows."""
-    r = docs.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return int(r["n"]), str(r["h"] or 0)
 
 
 def main() -> None:
@@ -73,6 +60,8 @@ def main() -> None:
 
     from sequali_spark.operators import dedup
     from sequali_spark.runtime.checkpoint import (
+        content_fingerprint,
+        invalidate_stage_manifest,
         stage_is_reusable,
         write_stage_manifest,
     )
@@ -83,14 +72,20 @@ def main() -> None:
 
     sigs_path = args.output.rstrip("/") + "_sigs"
     man_path = sigs_path + "_manifest"
-    n_docs, id_hash_sum = _input_fingerprint(docs)
-    manifest_rows = [
-        (args.input, dedup.N_MINHASH, dedup.LSH_BANDS, n_docs, id_hash_sum)
-    ]
+    # fingerprint BOTH id and text: signatures are a function of the
+    # text, so an in-place refresh that keeps ids but changes text must
+    # invalidate them.  This is a full id+text scan — still far cheaper
+    # than the sketch pass it guards (same scan plus per-doc CPU).
+    fp = content_fingerprint(docs, "doc_id", "text")
+    n_docs = int(fp.split(":")[0])
+    manifest_rows = [(args.input, dedup.N_MINHASH, dedup.LSH_BANDS, n_docs, fp)]
     resumed_sigs = (not args.force) and stage_is_reusable(
         spark, sigs_path, man_path, manifest_rows, SIGS_MANIFEST_SCHEMA
     )
     if not resumed_sigs:
+        # delete-manifest-first: a crash mid-recompute must never leave
+        # the previous manifest matching freshly-overwritten data
+        invalidate_stage_manifest(spark, man_path)
         dedup.exact_rep_labeled_sigs(docs.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(sigs_path)
@@ -122,8 +117,14 @@ def main() -> None:
             result.agg(F.sum(F.col("keep_doc").cast("long"))).collect()[0][0] or 0
         )
         stats["cc_rounds"] = cc_stats.get("rounds")
-        # reconciliation: exactly one keeper per cluster
-        assert stats["keepers"] == stats["clusters"], (stats["keepers"], stats["clusters"])
+        # reconciliation: exactly one keeper per cluster.  A hard raise,
+        # not assert — python -O / PYTHONOPTIMIZE strips asserts and
+        # this is the job's correctness guarantee, not a debug check
+        if stats["keepers"] != stats["clusters"]:
+            raise RuntimeError(
+                f"keeper reconciliation failed: {stats['keepers']} keepers "
+                f"for {stats['clusters']} clusters"
+            )
     else:
         stats["pairs"] = result.count()
     if args.stats:

@@ -319,7 +319,9 @@ def minhash_pairs_from_sigs(
       overwhelming probability after per-edge verification.  Pair-level
       completeness is deliberately given up — this is the CLUSTERING
       surface (dedup_keepers / connected components), the shape
-      production dedup runs at 100 TB.
+      production dedup runs at 100 TB.  ``max_bucket`` applies to
+      "pairs" mode only: ring volume is inherently linear, so the cap
+      is ignored (there is no head/star split to cap).
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")

@@ -13,7 +13,8 @@ jobs/run_curation.py and jobs/run_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def fs_exists(spark: SparkSession, path: str) -> bool:
@@ -23,6 +24,22 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def content_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Order-independent content fingerprint of the given columns:
+    "rowcount:exact-sum-of-row-hashes".  SUM, not XOR (xor cancels
+    duplicated rows, x^x=0); DECIMAL(38,0), not int64 (ANSI mode — the
+    Spark 4 default — raises on int64 overflow, which a sum of 63-bit
+    hashes hits after a handful of rows; the decimal domain is exact to
+    ~10^19 rows).  Cost: one scan of the named columns + a 1-row
+    collect — fingerprint the columns whose change must invalidate the
+    checkpoint, nothing more."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return f"{r['n']}:{r['h'] or 0}"
 
 
 def stage_is_reusable(
@@ -35,13 +52,37 @@ def stage_is_reusable(
     """True iff the stage data AND its manifest both committed
     (_SUCCESS) and the stored manifest equals this invocation's —
     a changed parameter or input fingerprint forces a recompute
-    instead of silently reusing stale results."""
-    return (
+    instead of silently reusing stale results.  Row comparison is
+    order-insensitive (parquet read-back order follows file
+    enumeration, not write order)."""
+    if not (
         fs_exists(spark, data_path.rstrip("/") + "/_SUCCESS")
         and fs_exists(spark, manifest_path.rstrip("/") + "/_SUCCESS")
-        and spark.read.schema(manifest_schema).parquet(manifest_path).collect()
-        == spark.createDataFrame(manifest_rows, schema=manifest_schema).collect()
+    ):
+        return False
+    stored = sorted(
+        map(tuple, spark.read.schema(manifest_schema).parquet(manifest_path).collect())
     )
+    expected = sorted(
+        map(tuple, spark.createDataFrame(manifest_rows, schema=manifest_schema).collect())
+    )
+    return stored == expected
+
+
+def invalidate_stage_manifest(spark: SparkSession, manifest_path: str) -> None:
+    """Delete the manifest BEFORE overwriting the stage data.  Without
+    this, a crash after the data overwrite but before the new manifest
+    write leaves the PREVIOUS manifest beside the NEW data — and a
+    later run with the previous parameters would match the stale
+    manifest and silently reuse data computed under different
+    parameters.  Deleting first makes every crash window fail toward
+    recompute."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def write_stage_manifest(
@@ -50,9 +91,10 @@ def write_stage_manifest(
     manifest_rows: list[tuple],
     manifest_schema: str,
 ) -> None:
-    """Commit the manifest AFTER the stage data: a crash between the
-    two leaves a data dir without a matching manifest, which
-    stage_is_reusable treats as not-reusable (safe recompute)."""
+    """Commit the manifest AFTER the stage data (and after
+    invalidate_stage_manifest before it): data without a matching
+    manifest is treated as not-reusable, so both halves of the crash
+    window recompute."""
     spark.createDataFrame(manifest_rows, schema=manifest_schema).write.mode(
         "overwrite"
     ).parquet(manifest_path)

@@ -249,14 +249,52 @@ def test_dedup_job_cli_checkpoints_signatures(spark, tmp_path):
     s3 = run("s3.json", "--threshold", "0.5")
     assert s3["resumed_signatures"] is True and s3["threshold"] == 0.5
 
-    # in-place input rewrite: content fingerprint forces a re-sketch
+    # in-place TEXT-only rewrite (same ids): signatures are a function
+    # of the text, so the content fingerprint must force a re-sketch
     pdf2 = pdf.copy()
-    pdf2.loc[pdf2["doc_id"] == 21, "doc_id"] = 22
+    pdf2.loc[pdf2["doc_id"] == 21, "text"] = "completely different replacement text " * 4
     spark.createDataFrame(pdf2).write.mode("overwrite").parquet(
         str(d / "documents.parquet")
     )
     s4 = run("s4.json")
     assert s4["resumed_signatures"] is False
+
+
+def test_stage_checkpoint_helpers(spark, tmp_path):
+    """runtime/checkpoint.py contract: reuse requires data _SUCCESS +
+    manifest _SUCCESS + (order-insensitive) manifest equality;
+    invalidation deletes the manifest so every crash window fails
+    toward recompute."""
+    from sequali_spark.runtime.checkpoint import (
+        content_fingerprint,
+        invalidate_stage_manifest,
+        stage_is_reusable,
+        write_stage_manifest,
+    )
+
+    data = str(tmp_path / "stage")
+    man = str(tmp_path / "stage_manifest")
+    schema = "k string, v int"
+    rows = [("b", 2), ("a", 1)]  # two rows: exercises order-insensitivity
+    spark.range(3).write.parquet(data)
+    assert not stage_is_reusable(spark, data, man, rows, schema)  # no manifest
+    write_stage_manifest(spark, man, rows, schema)
+    assert stage_is_reusable(spark, data, man, rows, schema)
+    # same rows, different order: still reusable
+    assert stage_is_reusable(spark, data, man, [("a", 1), ("b", 2)], schema)
+    # changed parameter: not reusable
+    assert not stage_is_reusable(spark, data, man, [("a", 1), ("b", 3)], schema)
+    # invalidation (the delete-manifest-first crash guard)
+    invalidate_stage_manifest(spark, man)
+    assert not stage_is_reusable(spark, data, man, rows, schema)
+    invalidate_stage_manifest(spark, man)  # idempotent on absent path
+
+    # content_fingerprint: order-independent, duplicate-sensitive
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, t string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, t string")
+    dup = spark.createDataFrame([(1, "x"), (1, "x")], "id long, t string")
+    assert content_fingerprint(a, "id", "t") == content_fingerprint(b, "id", "t")
+    assert content_fingerprint(a, "id", "t") != content_fingerprint(dup, "id", "t")
 
 
 def test_probes_fingerprint_sees_duplicated_rows(spark):
