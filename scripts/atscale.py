@@ -187,10 +187,99 @@ def run_curation(rows: int) -> dict:
     }
 
 
+def _clustered_embeddings(spark, n_rows: int, dim: int = 64, n_clusters: int = 1000):
+    """Deterministic clustered unit vectors, generated distributed: a
+    fixed 1000-center codebook (seeded, regenerated identically in
+    every partition — 1000x64 floats, trivial) plus per-partition
+    seeded noise; ANN recall is only meaningful on clustered data
+    (isotropic random defeats every sublinear index)."""
+    import numpy as np
+    import pandas as pd
+
+    parts = 64
+    per = n_rows // parts
+    meta = [(i, per + (n_rows - per * parts if i == parts - 1 else 0)) for i in range(parts)]
+    meta_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(meta, parts), schema="pid long, rows long"
+    )
+
+    def _gen(it):
+        centers = np.random.RandomState(7).randn(n_clusters, dim)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                pid, n = int(row["pid"]), int(row["rows"])
+                rng = np.random.RandomState(100 + pid)
+                labels = rng.randint(0, n_clusters, size=n)
+                v = centers[labels] + 0.25 * rng.randn(n, dim)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.arange(n, dtype=np.int64) + pid * per,
+                        "label": labels.astype(np.int64),
+                        "embedding": [r.astype(np.float32).tolist() for r in v],
+                    }
+                )
+
+    return meta_df.mapInPandas(
+        _gen, schema="vec_id long, label long, embedding array<float>"
+    )
+
+
+def run_ann(rows: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators import similarity
+    from sequali_spark.session import get_spark
+
+    n_queries, k, n_centroids, n_probe = 100, 10, 256, 8
+    spark = get_spark(app_name="atscale_ann")
+    path = f"/tmp/sequali_atscale_emb_{rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _clustered_embeddings(spark, rows).write.mode("overwrite").parquet(path)
+    e = spark.read.parquet(path)
+
+    t0 = time.time()
+    centroids = similarity.kmeans_centroids(e, n_centroids=n_centroids, n_iter=2)
+    t_build = time.time() - t0
+
+    t1 = time.time()
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk_for(
+            e, n_queries=n_queries, k=k, n_probe=n_probe, centroids=centroids
+        ).collect()
+    }
+    t_ivf = time.time() - t1
+
+    t2 = time.time()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk_for(e, n_queries=n_queries, k=k).collect()
+    }
+    t_brute = time.time() - t2
+
+    spark.stop()
+    return {
+        "rows": rows,
+        "n_queries": n_queries,
+        "k": k,
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "scan_fraction": round(n_probe / n_centroids, 4),
+        "build_wall_sec": round(t_build, 1),
+        "ivf_query_wall_sec": round(t_ivf, 1),
+        "brute_force_wall_sec": round(t_brute, 1),
+        "recall_at_k": round(len(ivf & truth) / max(len(truth), 1), 4),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--mode", choices=["dedup", "curation", "all"], default="all")
+    ap.add_argument(
+        "--mode", choices=["dedup", "curation", "ann", "all"], default="all"
+    )
     args = ap.parse_args()
 
     results: dict[str, dict] = {}
@@ -200,6 +289,9 @@ def main() -> None:
     if args.mode in ("curation", "all"):
         results["curation"] = run_curation(args.rows)
         print(json.dumps({"curation": results["curation"]}))
+    if args.mode == "ann":  # separate corpus; not part of "all"
+        results["ann"] = run_ann(args.rows)
+        print(json.dumps({"ann": results["ann"]}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "ATSCALE.md"), "a") as f:

@@ -328,7 +328,31 @@ def ivf_topk(
     and only probed lists are scanned.
     """
     e = load(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(e, n_centroids=n_centroids, n_iter=n_iter)
+    return ivf_topk_for(
+        e,
+        n_queries=n_queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        n_iter=n_iter,
+    )
+
+
+def ivf_topk_for(
+    e: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat over any (vec_id, embedding) frame (see ivf_topk);
+    ``centroids`` lets a caller reuse a prebuilt quantizer so build and
+    query phases can be timed separately."""
+    spark = e.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(e, n_centroids=n_centroids, n_iter=n_iter)
 
     assigned = e.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_udf(centroids), schema="vec_id long, centroid long"
