@@ -56,6 +56,39 @@ def streaming_time_report(pages_stream: DataFrame, window: str = "1 hour", water
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via NATIVE session windows — the
+    streaming twin of operators.events.sessionize: per-user events
+    whose inter-event gap stays under ``gap`` merge into one session;
+    the watermark closes sessions and bounds state (an open session's
+    state is evicted once the watermark passes its end).
+
+    Boundary semantics differ by one instant from the batch operator:
+    batch breaks a session when the gap is STRICTLY greater than the
+    threshold (diff > 1800s), while ``session_window`` starts a new
+    session at exactly the threshold (an event at prev + gap falls
+    outside [prev, prev + gap)).  Events on the exact boundary are
+    measure-zero for continuous timestamps; the cross-check test avoids
+    them and the difference is documented rather than papered over.
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, session_events).  In append mode a session only emits
+    after the watermark passes its end — the late-data contract."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("session_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "session_events",
+        )
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     src_path: str,
