@@ -295,6 +295,19 @@ def _pages_distinct_urls_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank (rows-only:
+    codebooks are a trained Python artifact).  The 32x-compressed-codes
+    scan path for corpus-scale embeddings; recall pinned on the
+    planted-cluster fixture (tests/test_dedup_recall.py) — the driver's
+    isotropic embeddings defeat every sublinear index by construction,
+    so this checks plumbing and determinism, not recall."""
+    from sequali_spark.operators.similarity import pq_topk_for
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk_for(e, n_queries=10, k=5, rerank_factor=10)
+
+
 def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.operators.aggregates import boilerplate_id_query
 
@@ -410,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": dedup.winnow_overlap_pairs,
         "emb_lsh_topk": similarity.lsh_bucketed_topk,
         "emb_ivf_topk": similarity.ivf_topk,
+        "emb_pq_topk": _emb_pq_topk,
         "emb_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "pages_quality_labels": _pages_quality_labels,
         "pages_labels_missing_columns": _pages_labels_missing_columns,

@@ -381,3 +381,157 @@ def ivf_topk_for(
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     return _rerank_topk(cand, k)
+
+
+# --- product quantization (PQ-ADC) -------------------------------------------
+#
+# Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011), implemented from the paper: split each vector
+# into M subvectors, k-means a 256-entry codebook per subspace, store
+# each vector as M uint8 codes (dim*4 bytes -> M bytes: 32x at
+# M=8/dim=64), and score queries by Asymmetric Distance Computation —
+# per query, precompute the (M, 256) table of subvector dot products
+# once, then every corpus vector's approximate similarity is M table
+# gathers.  The memory argument at 10^12 vectors: flat float32 storage
+# is ~256 TB, PQ-8 codes are ~8 TB — the corpus side of the scan
+# becomes codes-only, with an exact re-rank of the short list.
+
+PQ_M = 8  # subvectors (dim 64 -> 8 dims each)
+PQ_K = 256  # codebook entries per subspace (one uint8 code)
+
+
+def pq_train(
+    e: DataFrame, m: int = PQ_M, k: int = PQ_K, n_sample: int = 20_000,
+    n_iter: int = 10, dim: int = EMB_DIM,
+) -> np.ndarray:
+    """(m, k, dim/m) codebooks from seeded Lloyd per subspace on a
+    deterministic sample (lowest vec_ids — orderBy.limit, bounded
+    driver collect; codebook training needs thousands of points, not
+    the corpus).  Empty clusters keep their previous centroid."""
+    rows = e.orderBy("vec_id").limit(n_sample).select("embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sub_dim = dim // m
+    rng = np.random.RandomState(1009)
+    books = np.empty((m, k, sub_dim), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+        init = xs[rng.choice(len(xs), size=k, replace=len(xs) < k)]
+        c = init.copy()
+        for _ in range(n_iter):
+            # squared L2 assign: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2
+            d2 = (xs * xs).sum(1)[:, None] - 2 * xs @ c.T + (c * c).sum(1)[None, :]
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    c[j] = xs[mask].mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_encode(e: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — M uint8 codes per vector, one Arrow
+    stage; the corpus representation every downstream ADC scan reads."""
+    m, k, sub_dim = codebooks.shape
+
+    def _encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+                c = codebooks[s]
+                d2 = (xs * xs).sum(1)[:, None] - 2 * xs @ c.T + (c * c).sum(1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        _encode, schema="vec_id long, codes array<long>"
+    )
+
+
+def pq_topk_for(
+    e: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    rerank_factor: int = 4,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: ADC-score the CODES frame (the
+    corpus's float embeddings never leave storage for the scan), keep
+    the top ``k * rerank_factor`` per query by approximate score, then
+    re-rank exactly those few candidates against the true embeddings.
+    ``codebooks``/``codes`` let a caller reuse a trained+encoded corpus
+    so build and query are timed separately (and at scale the codes
+    table is a persisted artifact, not rebuilt per query)."""
+    spark = e.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(e)
+    if codes is None:
+        codes = pq_encode(e, codebooks)
+    m, kk, sub_dim = codebooks.shape
+
+    q_rows = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # ADC tables: lut[qi, s, code] = q_sub . codebook entry — (Q, M, 256)
+    lut = np.einsum("qsd,skd->qsk", q.reshape(len(q), m, sub_dim), codebooks)
+    shortlist = k * rerank_factor
+
+    def _adc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            # scores[qi, n] = sum_s lut[qi, s, c[n, s]] — one (Q, n)
+            # gather per subspace (m=8 vectorized passes)
+            scores = np.zeros((len(q_ids), len(c)), dtype=np.float64)
+            for s in range(m):
+                scores += lut[:, s, :][:, c[:, s]]
+            out_q, out_v, out_s = [], [], []
+            top = min(shortlist, scores.shape[1])
+            for qi in range(len(q_ids)):
+                row = scores[qi]
+                idx = np.argpartition(-row, top - 1)[:top]
+                keep = vec_ids[idx] != q_ids[qi]
+                out_q.extend([q_ids[qi]] * int(keep.sum()))
+                out_v.extend(vec_ids[idx][keep].tolist())
+                out_s.extend(row[idx][keep].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_v, "adc_score": out_s}
+            )
+
+    # per-partition shortlist -> global shortlist by ADC score
+    part_top = codes.mapInPandas(
+        _adc, schema="query_id long, neighbor_id long, adc_score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    global_top = (
+        part_top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist against the true embeddings
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        global_top.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", F.col("neighbor_id").alias("vec_id"), "embedding", "q_emb")
+    )
+    return _rerank_topk(cand, k)
