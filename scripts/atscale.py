@@ -259,6 +259,24 @@ def run_ann(rows: int) -> dict:
     }
     t_brute = time.time() - t2
 
+    # PQ-ADC: train + encode (the 32x-compressed corpus artifact), then
+    # the codes-only ADC scan + exact re-rank
+    t3 = time.time()
+    books = similarity.pq_train(e)
+    codes = similarity.pq_encode(e, books).persist()
+    codes.count()
+    t_pq_build = time.time() - t3
+    t4 = time.time()
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk_for(
+            e, n_queries=n_queries, k=k, rerank_factor=10,
+            codebooks=books, codes=codes,
+        ).collect()
+    }
+    t_pq = time.time() - t4
+    codes.unpersist()
+
     spark.stop()
     return {
         "rows": rows,
@@ -271,6 +289,9 @@ def run_ann(rows: int) -> dict:
         "ivf_query_wall_sec": round(t_ivf, 1),
         "brute_force_wall_sec": round(t_brute, 1),
         "recall_at_k": round(len(ivf & truth) / max(len(truth), 1), 4),
+        "pq_build_encode_wall_sec": round(t_pq_build, 1),
+        "pq_query_wall_sec": round(t_pq, 1),
+        "pq_recall_at_k": round(len(pq & truth) / max(len(truth), 1), 4),
     }
 
 
