@@ -308,6 +308,16 @@ def _emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_for(e, n_queries=10, k=5, rerank_factor=10)
 
 
+def _emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (coarse-quantizer pruning + compressed ADC
+    scan + exact re-rank) — rows-only; full-probe ≡ plain PQ is the
+    structural identity pinned in tests/test_dedup_recall.py."""
+    from sequali_spark.operators.similarity import ivfpq_topk_for
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk_for(e, n_queries=10, k=5, n_centroids=16, n_probe=8, rerank_factor=10)
+
+
 def _boilerplate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequali_spark.operators.aggregates import boilerplate_id_query
 
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": similarity.lsh_bucketed_topk,
         "emb_ivf_topk": similarity.ivf_topk,
         "emb_pq_topk": _emb_pq_topk,
+        "emb_ivfpq_topk": _emb_ivfpq_topk,
         "emb_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "pages_quality_labels": _pages_quality_labels,
         "pages_labels_missing_columns": _pages_labels_missing_columns,

@@ -516,13 +516,21 @@ def pq_topk_for(
     part_top = codes.mapInPandas(
         _adc, schema="query_id long, neighbor_id long, adc_score double"
     )
+    return _shortlist_exact_rerank(part_top, e, n_queries, k, shortlist)
+
+
+def _shortlist_exact_rerank(
+    scored: DataFrame, e: DataFrame, n_queries: int, k: int, shortlist: int
+) -> DataFrame:
+    """Global top-``shortlist`` per query by approximate score, then an
+    exact cosine re-rank of just those candidates against the true
+    embeddings — shared by the PQ and IVF-PQ scan paths."""
     w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
     global_top = (
-        part_top.withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the shortlist against the true embeddings
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -535,3 +543,89 @@ def pq_topk_for(
         .select("query_id", F.col("neighbor_id").alias("vec_id"), "embedding", "q_emb")
     )
     return _rerank_topk(cand, k)
+
+
+def ivfpq_topk_for(
+    e: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    n_iter: int = 2,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production composition (FAISS's IVFADC shape): the
+    coarse quantizer prunes the scan to ``n_probe`` inverted lists per
+    query (the RECALL/pruning tier), PQ codes make the scanned rows
+    8 bytes instead of dim*4 (the MEMORY tier), ADC scores the pruned
+    candidates, and the shortlist re-ranks exactly.
+
+    Structural guarantee (tested): with ``n_probe == n_centroids`` the
+    probe filter passes everything, so the result is IDENTICAL to plain
+    pq_topk_for on the same codebooks/codes — the composition adds
+    pruning, never a different scoring path.  (Codes here quantize raw
+    vectors, not residuals — residual encoding is a quality refinement
+    of the same plan shape, orthogonal to the distribution story.)"""
+    spark = e.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(e, n_centroids=n_centroids, n_iter=n_iter)
+    if codebooks is None:
+        codebooks = pq_train(e)
+    if codes is None:
+        codes = pq_encode(e, codebooks)
+    m, kk, sub_dim = codebooks.shape
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_udf(centroids), schema="vec_id long, centroid long"
+    )
+    q_rows = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    lut = np.einsum("qsd,skd->qsk", q.reshape(len(q), m, sub_dim), codebooks)
+    qpos = {int(qid): i for i, qid in enumerate(q_ids)}
+    probes = []
+    for i, qid in enumerate(q_ids):
+        sims = centroids @ q[i]
+        for c in np.argsort(-sims)[:n_probe]:
+            probes.append((int(qid), int(c)))
+    probe_df = spark.createDataFrame(probes, schema="query_id long, centroid long")
+
+    # pruned candidate codes: (query_id, vec_id, codes) — the scan is
+    # codes-only and list-pruned; embeddings stay in storage until the
+    # exact re-rank of the shortlist
+    cand_codes = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probe_df), "centroid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+
+    def _adc_rows(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = np.array([qpos[int(x)] for x in pdf["query_id"]], dtype=np.int64)
+            scores = np.zeros(len(c), dtype=np.float64)
+            for s in range(m):
+                scores += lut[qi, s, c[:, s]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "adc_score": scores,
+                }
+            )
+
+    scored = cand_codes.mapInPandas(
+        _adc_rows, schema="query_id long, neighbor_id long, adc_score double"
+    )
+    return _shortlist_exact_rerank(scored, e, n_queries, k, k * rerank_factor)

@@ -523,3 +523,46 @@ def test_pq_adc_score_matches_numpy_reference(spark, clustered_embeddings):
         # quantization error must be small on tight clusters
         assert abs(adc - exact) < 0.15, (r["neighbor_id"], adc, exact)
         assert r["sim_bps"] == int(np.floor(10000 * exact))
+
+
+def test_ivfpq_full_probe_equals_pq(spark, clustered_embeddings):
+    """IVF-PQ with n_probe == n_centroids is exhaustive: the probe
+    filter passes everything, so the result must be IDENTICAL to plain
+    PQ-ADC on the same codebooks/codes — the composition adds pruning,
+    never a different scoring path."""
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    books = sim.pq_train(e, n_sample=500, n_iter=8)
+    codes = sim.pq_encode(e, books).persist()
+    cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    pq = sim.pq_topk_for(
+        e, n_queries=5, k=5, rerank_factor=4, codebooks=books, codes=codes
+    ).collect()
+    ivfpq = sim.ivfpq_topk_for(
+        e, n_queries=5, k=5, n_centroids=8, n_probe=8, rerank_factor=4,
+        centroids=cents, codebooks=books, codes=codes,
+    ).collect()
+    codes.unpersist()
+    assert [tuple(r) for r in pq] == [tuple(r) for r in ivfpq]
+
+
+def test_ivfpq_partial_probe_recall(spark, clustered_embeddings):
+    """With real pruning (probe 4 of 16 lists) the composition still
+    recovers the brute-force top-k on clustered data: the coarse
+    quantizer sends each query to its own cluster's list."""
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk_for(e, n_queries=10, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivfpq_topk_for(
+            e, n_queries=10, k=5, n_centroids=16, n_probe=4, rerank_factor=10
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f}"

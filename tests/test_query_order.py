@@ -116,7 +116,7 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 76
+    assert len(entry_mod.queries()) == 77
     assert len(entry_mod.oracle_sql()) == 61
 
 
