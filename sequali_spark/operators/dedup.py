@@ -141,6 +141,82 @@ def _minhash_signature_raw(text: str) -> np.ndarray:
     return v.min(axis=1).astype(np.int64)
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+_SHINGLE_K = 5
+
+
+def _batch_minhash_matrix(
+    texts: list[str], k: int = _SHINGLE_K, tile: int = 8192
+) -> np.ndarray:
+    """Batched 64-permutation minhash over a whole Arrow batch of texts,
+    bit-identical to per-doc ``_minhash_signature`` (pinned by
+    tests/test_minhash_batch_kernel.py).  Two vectorization moves replace
+    the r4 per-doc Python dispatch (the last per-doc loop in a hot path):
+
+    1. ONE global rolling-FNV pass over the concatenated utf-8 bytes of
+       every doc (each padded to >= k with NULs, exactly as
+       _shingle_multiset pads) — k vector ops total per batch instead of
+       k per doc; window hashes that straddle a doc boundary are dropped
+       by a single gather of each doc's valid positions.
+    2. Per-permutation segment minima via ``np.minimum.reduceat`` over
+       doc-start offsets, computed per DOC-GROUP whose shingle total
+       fits a cache-resident tile: the (64, <=tile) affine+Mersenne-fold
+       working set stays in L2/L3 while the per-call Python dispatch is
+       amortized over every doc in the group.  This is deliberately NOT
+       the whole-batch (64, sum_n) matrix rejected in r3 (it spilled to
+       RAM and ran 4x slower) — the tile bounds the working set.
+
+    A single doc whose shingle count exceeds ``tile`` forms its own
+    group (same working set as the per-doc kernel had)."""
+    n_docs = len(texts)
+    sigs = np.empty((n_docs, N_MINHASH), dtype=np.int64)
+    if n_docs == 0:
+        return sigs
+    bufs = []
+    lens = np.empty(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        if len(b) < k:
+            b = b + b"\x00" * (k - len(b))
+        bufs.append(b)
+        lens[i] = len(b)
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    n_global = offs[-1] - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n_global, dtype=np.uint64)
+        for j in range(k):
+            h = h * _FNV_PRIME + cat[j : n_global + j].astype(np.uint64)
+        # gather each doc's valid window starts (doc i owns global
+        # positions [offs[i], offs[i] + lens[i] - k + 1))
+        n_sh = lens - (k - 1)
+        sh_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=sh_offs[1:])
+        idx = (
+            np.arange(sh_offs[-1], dtype=np.int64)
+            - np.repeat(sh_offs[:-1], n_sh)
+            + np.repeat(offs[:-1], n_sh)
+        )
+        sh_all = h[idx]
+        m = np.uint64(_MERSENNE)
+        a_col = _MH_A[:, None]
+        b_col = _MH_B[:, None]
+        g = 0
+        while g < n_docs:
+            # largest doc-group whose shingles fit the tile (>= 1 doc)
+            end = int(np.searchsorted(sh_offs, sh_offs[g] + tile, side="right")) - 1
+            end = max(end, g + 1)
+            s0, s1 = sh_offs[g], sh_offs[end]
+            sh = sh_all[s0:s1]
+            v = a_col * sh[None, :] + b_col
+            v = (v & m) + (v >> np.uint64(61))
+            v -= m * (v >= m)
+            sigs[g:end] = np.minimum.reduceat(v, sh_offs[g:end] - s0, axis=1).T
+            g = end
+    return sigs
+
+
 _BAND_POWERS = (np.uint64(31) ** np.arange(
     N_MINHASH // LSH_BANDS - 1, -1, -1, dtype=np.uint64
 )).astype(np.uint64)
@@ -168,36 +244,36 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, digest, signature array<long>, bands array<long>) via one
     Arrow stage — the exact-dup digest rides along so rep selection
-    never needs a second pass over (or shuffle of) the text.  Per batch:
-    per-doc signature kernels into one preallocated (n, 64) matrix, then
-    ONE vectorized band-mix over the whole batch (_band_keys) — the only
-    remaining per-doc Python is the signature kernel itself (L2-sized by
-    design) and the C-backed md5."""
-    import hashlib as _hl
-
+    never needs a second pass over (or shuffle of) the text.  Zero
+    per-doc Python: the digest is computed JVM-side (``F.md5`` of the
+    utf-8 bytes — byte-identical to hashlib's lowercase hexdigest) in
+    the same projection the scan feeds, and the Arrow stage runs ONE
+    batched signature kernel (_batch_minhash_matrix: global rolling-FNV
+    + tiled segment-minima) plus ONE vectorized band-mix (_band_keys)
+    per batch."""
     id_type = dict(docs.dtypes)[id_col]
     schema = f"{id_col} {id_type}, digest string, signature array<long>, bands array<long>"
 
     def _batches(it):
         for pdf in it:
             texts = [(t or "") for t in pdf[text_col]]
-            sigs = np.empty((len(texts), N_MINHASH), dtype=np.int64)
-            with np.errstate(over="ignore"):  # hoisted: one guard/batch
-                for i, t in enumerate(texts):
-                    sigs[i] = _minhash_signature_raw(t)
+            sigs = _batch_minhash_matrix(texts)
             bands = _band_keys(sigs)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "digest": [_hl.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    "digest": pdf["digest"].to_numpy(),
                     "signature": list(sigs),
                     "bands": list(bands),
                 }
             )
 
-    return _spread_for_python(docs.select(id_col, text_col)).mapInPandas(
-        _batches, schema=schema
+    prepared = docs.select(
+        id_col,
+        text_col,
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
     )
+    return _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
 
 
 def collapse_exact_reps(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
