@@ -322,6 +322,8 @@ def minhash_pairs_for(
     max_bucket: int = 256,
     collapse_exact: bool = False,
     edge_mode: str = "pairs",
+    ring_cap: int = 4096,
+    ring_successors: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + signature-similarity verify,
     over any (id, text) DataFrame.  ``edge_mode`` (see
@@ -364,6 +366,71 @@ def minhash_pairs_for(
         threshold=threshold,
         max_bucket=max_bucket,
         edge_mode=edge_mode,
+        ring_cap=ring_cap,
+        ring_successors=ring_successors,
+    )
+
+
+def _ring_edges(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    ring_cap: int = 4096,
+    successors: int = 1,
+) -> DataFrame:
+    """Successor edges in salted bucket order — the linear-volume ring
+    topology — with two scale guards over the raw ring (ADVICE r4):
+
+    1. **Hot-bucket splitting**: a bucket holding B members is split
+       into ``ceil(B / ring_cap)`` salted sub-buckets before the lead()
+       window, so one degenerate bucket (empty docs' identical
+       zero-padded signatures when exact collapse is off, or a massive
+       boilerplate class) can never force a single-task window sort
+       over a corpus-sized partition.  Buckets at or under the cap get
+       salt 0 and their edge set is byte-identical to the unsalted
+       ring.  An over-cap bucket becomes ceil(B/cap) disjoint chains
+       per band — but each band salts the split independently (the
+       band key feeds the salt hash), so across bands the chains
+       overlap and connected components stitches the cluster back
+       together; members are never silently dropped.
+    2. **k successor edges** (``successors`` >= 1): each member pairs
+       with its next k neighbors in sub-bucket order — volume
+       <= k * bands * N, still linear.  k=1 (the default) preserves
+       connectivity for clique-like clusters (genuine near-dup sets,
+       where every member verifies against every other); k>=2 gives
+       each doc extra independent draws per band for hub-and-spoke
+       shapes (spokes similar to a template hub but below threshold
+       pairwise), where a single failed verify on a chain edge would
+       otherwise fragment the cluster.
+    """
+    keys = [F.col(c) for c in key_cols]
+    order_hash = F.xxhash64(F.col(id_col), keys[-1])
+    cnt_w = W.partitionBy(*key_cols)
+    counted = exploded.withColumn(
+        "_n_sub", F.ceil(F.count("*").over(cnt_w) / F.lit(ring_cap)).cast("long")
+    )
+    # different literal seed than the ordering hash: salt and order must
+    # be independent draws or sub-buckets would be contiguous runs
+    salted = counted.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.lit(741), F.col(id_col), keys[-1]), F.col("_n_sub")),
+    )
+    bucket_w = W.partitionBy(*key_cols, "_salt").orderBy(order_hash, F.col(id_col))
+    # leads materialized in their own projection: Spark rejects window
+    # functions nested inside a generator (explode)
+    with_leads = salted.select(
+        F.col(id_col),
+        *[
+            F.lead(id_col, j).over(bucket_w).alias(f"_next_{j}")
+            for j in range(1, successors + 1)
+        ],
+    )
+    nxts = F.array_compact(
+        F.array(*[F.col(f"_next_{j}") for j in range(1, successors + 1)])
+    )
+    return with_leads.select(F.col(id_col), F.explode(nxts).alias("_next")).select(
+        F.least(F.col(id_col), F.col("_next")).alias("doc_a"),
+        F.greatest(F.col(id_col), F.col("_next")).alias("doc_b"),
     )
 
 
@@ -373,6 +440,8 @@ def minhash_pairs_from_sigs(
     threshold: float = 0.7,
     max_bucket: int = 256,
     edge_mode: str = "pairs",
+    ring_cap: int = 4096,
+    ring_successors: int = 1,
 ) -> DataFrame:
     """Band bucket-join + signature verify over a prepared signature
     frame (see minhash_pairs_for for the plan rationale).
@@ -392,12 +461,19 @@ def minhash_pairs_from_sigs(
       verify join).  Connectivity within a bucket is preserved (a
       path), and each doc gets n_bands independently-salted neighbor
       draws, so a genuine near-dup cluster stays connected with
-      overwhelming probability after per-edge verification.  Pair-level
-      completeness is deliberately given up — this is the CLUSTERING
-      surface (dedup_keepers / connected components), the shape
-      production dedup runs at 100 TB.  ``max_bucket`` applies to
-      "pairs" mode only: ring volume is inherently linear, so the cap
-      is ignored (there is no head/star split to cap).
+      overwhelming probability after per-edge verification.  The
+      connectivity claim assumes CLIQUE-LIKE clusters (every member
+      verifies against most others — true near-dup sets); hub-and-spoke
+      shapes (spokes over threshold vs a hub only) can fragment on a
+      failed chain edge — raise ``ring_successors`` for k extra draws
+      per band (volume k * bands * N, still linear) when clusters are
+      known to be non-clique.  Pair-level completeness is deliberately
+      given up — this is the CLUSTERING surface (dedup_keepers /
+      connected components), the shape production dedup runs at 100 TB.
+      ``max_bucket`` applies to "pairs" mode only; ring's skew guard is
+      ``ring_cap`` — hot buckets split into salted sub-buckets of
+      ~ring_cap members before the window sort (see _ring_edges), so a
+      degenerate bucket never serializes onto one task.
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
@@ -409,17 +485,9 @@ def minhash_pairs_from_sigs(
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
     if edge_mode == "ring":
-        bucket_w = W.partitionBy("band_idx", "band_hash").orderBy(
-            F.xxhash64(F.col(id_col), F.col("band_hash")), F.col(id_col)
-        )
-        nxt = F.lead(id_col).over(bucket_w)
-        cand = (
-            bands.withColumn("_next", nxt)
-            .filter(F.col("_next").isNotNull())
-            .select(
-                F.least(F.col(id_col), F.col("_next")).alias("doc_a"),
-                F.greatest(F.col(id_col), F.col("_next")).alias("doc_b"),
-            )
+        cand = _ring_edges(
+            bands, ["band_idx", "band_hash"], id_col,
+            ring_cap=ring_cap, successors=ring_successors,
         )
         return _verify_candidates(cand, sigs, id_col, threshold)
     overflow_pairs = None
@@ -527,6 +595,8 @@ def simhash_near_dup_pairs(
     max_hamming: int = 6,
     max_bucket: int = 256,
     edge_mode: str = "pairs",
+    ring_cap: int = 4096,
+    ring_successors: int = 1,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints bucketed into
     ``max_hamming + 1`` bit-blocks — pigeonhole: two hashes within
@@ -611,17 +681,9 @@ def simhash_near_dup_pairs(
         F.explode(F.array(*block_cols)).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.chunk")
     if edge_mode == "ring":
-        bucket_w = W.partitionBy("chunk_idx", "chunk").orderBy(
-            F.xxhash64(F.col("doc_id"), F.col("chunk")), F.col("doc_id")
-        )
-        nxt = F.lead("doc_id").over(bucket_w)
-        cand = (
-            chunks.withColumn("_next", nxt)
-            .filter(F.col("_next").isNotNull())
-            .select(
-                F.least(F.col("doc_id"), F.col("_next")).alias("doc_a"),
-                F.greatest(F.col("doc_id"), F.col("_next")).alias("doc_b"),
-            )
+        cand = _ring_edges(
+            chunks, ["chunk_idx", "chunk"], "doc_id",
+            ring_cap=ring_cap, successors=ring_successors,
         )
         return _verify_hamming(cand, fps, max_hamming)
     overflow_pairs = None
