@@ -142,9 +142,18 @@ def _probes_fingerprint(probes: DataFrame | None) -> str:
     return content_fingerprint(probes, "probe_doc", "probe")
 
 
-def _manifest(args, probes: DataFrame | None = None) -> list[tuple]:
+def _manifest(args, probes: DataFrame | None, docs: DataFrame) -> list[tuple]:
     """One-row fingerprint of everything that determines the decision
-    table; a checkpoint is only reusable if it matches the invocation."""
+    table; a checkpoint is only reusable if it matches the invocation.
+    The input documents are fingerprinted by CONTENT, not just path
+    (same rationale — and the same (doc_id, text) fingerprint — as
+    run_dedup.py's signature-stage manifest, ADVICE r4): an in-place
+    rewrite of <input>/documents.parquet between runs must invalidate
+    the decision table, or stale doc_ids would silently join against
+    the new corpus.  The fingerprint scan is id+text only, far cheaper
+    than the three corpus passes it guards."""
+    from sequali_spark.runtime.checkpoint import content_fingerprint
+
     return [
         (
             args.input,
@@ -152,12 +161,14 @@ def _manifest(args, probes: DataFrame | None = None) -> list[tuple]:
             int(args.min_gates),
             args.probes or "",
             _probes_fingerprint(probes),
+            content_fingerprint(docs, "doc_id", "text"),
         )
     ]
 
 
 MANIFEST_SCHEMA = (
-    "input string, dedup_threshold double, min_gates int, probes string, probes_fp string"
+    "input string, dedup_threshold double, min_gates int, probes string, "
+    "probes_fp string, docs_fp string"
 )
 
 
@@ -206,7 +217,7 @@ def main() -> None:
         write_stage_manifest,
     )
 
-    manifest_rows = _manifest(args, probes)
+    manifest_rows = _manifest(args, probes, docs)
     resumed = (not args.force) and stage_is_reusable(
         spark, dec_path, man_path, manifest_rows, MANIFEST_SCHEMA
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -69,7 +70,29 @@ class TableIO:
         left-anti join + union + rewrite — localCheckpoint materializes
         the merged frame first because Spark refuses to overwrite a
         path it is still reading from; sandbox-scale only (the rewrite
-        is O(table), which is exactly why production uses Iceberg)."""
+        is O(table), which is exactly why production uses Iceberg).
+
+        Duplicate keys in the SOURCE are rejected up front (one cheap
+        aggregation over the delta): Iceberg MERGE fails mid-commit
+        when a target row matches multiple source rows, while the
+        parquet emulation would silently anti-delete once and insert
+        every duplicate — a multi-row key violating the upsert
+        contract.  Failing identically (and before any write) keeps
+        the two paths' semantics aligned (ADVICE r4)."""
+        dup = (
+            df.groupBy(key_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert source has duplicate {key_col!r} keys "
+                f"(e.g. {dup[0][key_col]!r}); an idempotent keyed upsert "
+                "requires a unique key per source row — deduplicate the "
+                "delta first"
+            )
         if self.fmt == "iceberg":
             view = "_sequali_upsert_src"
             df.createOrReplaceTempView(view)

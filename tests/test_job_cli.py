@@ -424,6 +424,56 @@ def test_curation_probes_rewrite_invalidates_checkpoint(spark, tmp_path):
     assert stats2["dropped"].get("contaminated") == 2
 
 
+def test_curation_docs_rewrite_invalidates_checkpoint(spark, tmp_path):
+    """The resume manifest fingerprints the input DOCUMENTS by content
+    (ADVICE r4, mirroring run_dedup.py): rewriting documents.parquet in
+    place between runs (same path) must force a recompute — stale
+    decision doc_ids would otherwise join against the new corpus."""
+    import pandas as pd
+
+    def write_docs(texts):
+        pdf = pd.DataFrame(
+            [(i, t, "s1") for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "source"],
+        )
+        pdf["n_chars"] = pdf["text"].str.len()
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+
+    d = tmp_path / "docs"
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+
+    def run(stats_name):
+        stats_path = str(tmp_path / stats_name)
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_curation.py",
+                "--input", str(d), "--output", out, "--stats", stats_path,
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.load(open(stats_path))
+
+    base = [
+        "long clean document about compilers and linkers " * 6,
+        "long clean document about networks and routers " * 6,
+        "long clean document about storage and caching layers " * 6,
+    ]
+    write_docs(base)
+    stats1 = run("stats1.json")
+    stats1b = run("stats1b.json")
+    assert stats1b["resumed_from_checkpoint"] is True  # same content reuses
+    # rewrite the docs IN PLACE (same path, one doc now an exact dup)
+    write_docs(base + [base[0]])
+    stats2 = run("stats2.json")
+    assert stats2["resumed_from_checkpoint"] is False
+    assert stats2["input_docs"] == stats1["input_docs"] + 1
+    assert stats2["dropped"].get("duplicate") == 1
+
+
 def test_curation_drop_precedence(spark, tmp_path):
     """A doc that is BOTH low-quality and a duplicate is attributed to
     'quality' (the documented precedence); exact dup clusters keep one

@@ -97,6 +97,26 @@ def test_table_io_iceberg_branch_contract():
         def overwritePartitions(self):
             calls.append(("overwritePartitions",))
 
+    class _DupCheck:
+        """Records the duplicate-source-key guard's plan steps and
+        reports a clean (no-duplicate) source."""
+
+        def count(self):
+            calls.append(("dupcheck.count",))
+            return self
+
+        def filter(self, _cond):
+            calls.append(("dupcheck.filter",))
+            return self
+
+        def limit(self, n):
+            calls.append(("dupcheck.limit", n))
+            return self
+
+        def collect(self):
+            calls.append(("dupcheck.collect",))
+            return []
+
     class _FakeDF:
         def writeTo(self, ref):
             calls.append(("writeTo", ref))
@@ -104,6 +124,10 @@ def test_table_io_iceberg_branch_contract():
 
         def createOrReplaceTempView(self, name):
             calls.append(("view", name))
+
+        def groupBy(self, key):
+            calls.append(("dupcheck.groupBy", key))
+            return _DupCheck()
 
     io = tables.TableIO(_FakeSpark(), fmt="iceberg")
     assert io.read("cat.db.pages") == "LOADED"
@@ -114,6 +138,11 @@ def test_table_io_iceberg_branch_contract():
         ("load", "cat.db.pages"),
         ("writeTo", "cat.db.labels"),
         ("overwritePartitions",),
+        ("dupcheck.groupBy", "url"),
+        ("dupcheck.count",),
+        ("dupcheck.filter",),
+        ("dupcheck.limit", 1),
+        ("dupcheck.collect",),
         ("view", "_sequali_upsert_src"),
         (
             "sql",
@@ -144,6 +173,27 @@ def test_table_io_parquet_merge_upsert_semantics(spark, tmp_path):
     io.merge_upsert(upsert, ref, "url")  # idempotent re-run (resume story)
     got2 = {r["url"]: r["version"] for r in spark.read.parquet(ref).collect()}
     assert got2 == got
+
+
+def test_table_io_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    """Duplicate keys in the source delta must raise BEFORE any write
+    (ADVICE r4): Iceberg MERGE fails on multiple source matches, while
+    the parquet emulation would silently produce a multi-row key — the
+    two paths must fail identically instead."""
+    io = tables.TableIO(spark, fmt="parquet")
+    ref = str(tmp_path / "labels_dup")
+    io.merge_upsert(
+        spark.createDataFrame([("u1", 1)], schema="url string, version int"),
+        ref,
+        "url",
+    )
+    dup = spark.createDataFrame(
+        [("u2", 2), ("u2", 3)], schema="url string, version int"
+    )
+    with pytest.raises(ValueError, match="duplicate 'url' keys"):
+        io.merge_upsert(dup, ref, "url")
+    # target untouched by the failed upsert
+    assert spark.read.parquet(ref).count() == 1
 
 
 # --- multimodal --------------------------------------------------------------
