@@ -310,8 +310,11 @@ def _emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (coarse-quantizer pruning + compressed ADC
-    scan + exact re-rank) — rows-only; full-probe ≡ plain PQ is the
-    structural identity pinned in tests/test_dedup_recall.py."""
+    scan + exact re-rank) — rows-only.  r5: RESIDUAL coding (codes
+    quantize x - centroid, coarse term restored at scan time) over the
+    fused one-pass (vec_id, centroid, codes) index frame; pinned by a
+    numpy whole-pipeline oracle plus the raw-path full-probe ≡ plain-PQ
+    structural identity (tests/test_dedup_recall.py)."""
     from sequali_spark.operators.similarity import ivfpq_topk_for
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -425,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": textqc.stratified_sample,
         "events_type_totals": events.event_type_totals,
         "rel_order_priority": relational.order_priority_counts,
+        # r5 (window frozen, so overflow): winnow-path decontamination —
+        # oracle = the broadcast contains() SQL, so the driver's hash
+        # gate cross-checks the dual-path equivalence on real data
+        "doc_decontaminate_winnow": textqc.benchmark_decontaminate_winnow,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -919,6 +926,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": """
             WITH probes AS (
               SELECT doc_id AS probe_doc, substr(text, 1, 16) AS probe
+              FROM documents WHERE n_chars >= 200 ORDER BY doc_id LIMIT 20
+            )
+            SELECT p.probe_doc, p.probe, count(*) AS contaminated_docs,
+                   min(d.doc_id) AS first_doc
+            FROM probes p JOIN documents d
+              ON d.doc_id <> p.probe_doc AND contains(d.text, p.probe)
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        # the winnow-path twin runs a fingerprint equi-join + exact
+        # verify on the Spark side; the oracle is the plain contains()
+        # semantics it must be exactly equivalent to (probe length 24
+        # >= the w+k-1 = 23 winnowing guarantee threshold)
+        "doc_decontaminate_winnow": """
+            WITH probes AS (
+              SELECT doc_id AS probe_doc, substr(text, 1, 24) AS probe
               FROM documents WHERE n_chars >= 200 ORDER BY doc_id LIMIT 20
             )
             SELECT p.probe_doc, p.probe, count(*) AS contaminated_docs,

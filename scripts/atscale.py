@@ -277,6 +277,45 @@ def run_ann(rows: int) -> dict:
     t_pq = time.time() - t4
     codes.unpersist()
 
+    # residual IVF-PQ (the composed index, r5): coarse pruning + codes
+    # that quantize (x - centroid), coarse term restored at scan time.
+    # Swept over M (subquantizers) because this corpus is
+    # NOISE-DOMINATED (the centroid explains ~1/5 of each vector's
+    # energy, so residuals are nearly as large as raw vectors and the
+    # true top-10's similarity gaps are tiny): M=8 (8 B/vec, 32x)
+    # cannot rank 31k probed candidates into a 1000-shortlist here;
+    # M=16 (16 B/vec, still 16x) is the recall/memory point that can.
+    ivfpq = {}
+    for m in (8, 16):
+        t5 = time.time()
+        res_books = similarity.pq_train_residual(e, centroids, m=m)
+        fused = similarity.ivfpq_encode(e, centroids, res_books).persist()
+        fused.count()
+        t_ivfpq_build = time.time() - t5
+        ivfpq_recall, ivfpq_sec = {}, {}
+        for rf in (10, 50, 100):
+            shortlist = rf * k
+            t6 = time.time()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.ivfpq_topk_for(
+                    e, n_queries=n_queries, k=k, n_centroids=n_centroids,
+                    n_probe=n_probe, rerank_factor=rf, centroids=centroids,
+                    codebooks=res_books, codes=fused,
+                ).collect()
+            }
+            ivfpq_sec[shortlist] = round(time.time() - t6, 1)
+            ivfpq_recall[shortlist] = round(
+                len(got & truth) / max(len(truth), 1), 4
+            )
+        fused.unpersist()
+        ivfpq[f"m{m}"] = {
+            "bytes_per_vec": m,
+            "build_encode_wall_sec": round(t_ivfpq_build, 1),
+            "query_wall_sec_by_shortlist": ivfpq_sec,
+            "recall_at_k_by_shortlist": ivfpq_recall,
+        }
+
     spark.stop()
     return {
         "rows": rows,
@@ -292,6 +331,7 @@ def run_ann(rows: int) -> dict:
         "pq_build_encode_wall_sec": round(t_pq_build, 1),
         "pq_query_wall_sec": round(t_pq, 1),
         "pq_recall_at_k": round(len(pq & truth) / max(len(truth), 1), 4),
+        "ivfpq_residual": ivfpq,
     }
 
 

@@ -480,6 +480,15 @@ def minhash_pairs_from_sigs(
     _release_prior_cache("minhash")
     sigs = sigs.select(id_col, "signature", "bands").persist()
     _CACHED["minhash"] = sigs
+    # EAGER materialization: the verify stage reads this frame from two
+    # broadcast-exchange futures that Spark launches CONCURRENTLY with
+    # the band-explode job — on a cold cache all three race and each
+    # recomputes the full Python sketch stage (measured: 4 duplicate
+    # 32-task runs, ~4x the sketch core-seconds, +1.5s wall at sf0.1).
+    # One count() pins the cache first; downstream reads are then cache
+    # hits.  (The production dedup job goes further and checkpoints
+    # sigs to parquet — jobs/run_dedup.py.)
+    sigs.count()
     bands = sigs.select(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
@@ -664,6 +673,8 @@ def simhash_near_dup_pairs(
         .persist()
     )
     _CACHED["simhash"] = fps
+    fps.count()  # eager: same concurrent-broadcast-race rationale as
+    # minhash_pairs_from_sigs — pin the cache before the verify futures
     n_blocks = max_hamming + 1
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     block_cols = []
@@ -972,6 +983,33 @@ def keepers_from_labeled_sigs(
 
 # --- winnowing overlap ------------------------------------------------------
 
+def winnow_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) winnowed-fingerprint postings for any (id, text) frame —
+    the shared scan stage of the winnowing family (overlap pairs,
+    large-probe-set decontamination)."""
+    from sequali_spark.functions.kernels import winnow_fingerprints
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, fp long"
+
+    def _batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                for fp in winnow_fingerprints((t or "").encode("utf-8")):
+                    ids.append(doc_id)
+                    fps.append(int(fp))
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return _spread_for_python(df.select(id_col, text_col)).mapInPandas(
+        _batches, schema=schema
+    )
+
+
 def winnow_overlap_pairs(
     spark: SparkSession, sf_dir: str, min_shared: int = 3, max_postings: int = 64
 ) -> DataFrame:
@@ -989,25 +1027,8 @@ def winnow_overlap_pairs(
     fragments carry no dedup signal anyway — dropping them trims
     candidate noise, not true document-level near-dups (which share
     many rarer fingerprints)."""
-    from sequali_spark.functions.kernels import winnow_fingerprints
-
     d = load(spark, sf_dir, "documents")
-    schema = "doc_id long, fp long"
-
-    def _batches(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids, fps = [], []
-            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                for fp in winnow_fingerprints((t or "").encode("utf-8")):
-                    ids.append(doc_id)
-                    fps.append(int(fp))
-            yield pd.DataFrame({"doc_id": ids, "fp": fps})
-
-    posts = _spread_for_python(d.select("doc_id", "text")).mapInPandas(
-        _batches, schema=schema
-    )
+    posts = winnow_postings(d)
     if max_postings:
         # one shuffle on fp that the self-join below reuses; buckets
         # above the cap never reach the join

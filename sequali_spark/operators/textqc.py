@@ -753,14 +753,116 @@ def decontamination_hits(
         raise ValueError(
             f"probes table exceeds max_broadcast_probes={max_broadcast_probes}: "
             "the broadcast contains() theta-join is O(docs x probes) and only "
-            "correct for benchmark-scale probe sets; use the winnowing "
-            "fingerprint equi-join (dedup.winnow_overlap_pairs) for large "
-            "probe corpora, or raise max_broadcast_probes explicitly"
+            "correct for benchmark-scale probe sets; use "
+            "decontamination_hits_winnow (winnowed-fingerprint equi-join, "
+            "same contract) for large probe corpora, or raise "
+            "max_broadcast_probes explicitly"
         )
     cond = F.col("text").contains(F.col("probe"))
     if self_derived:
         cond = (F.col("doc_id") != F.col("probe_doc")) & cond
     return docs.join(F.broadcast(probes), cond)
+
+
+def decontamination_hits_winnow(
+    docs: DataFrame,
+    probes: DataFrame,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """The LARGE-probe-set decontamination path: same contract as
+    decontamination_hits with an external probes table — (doc_id,
+    probe_doc, probe) for every document containing a probe — but built
+    as a winnowed-fingerprint EQUI-join instead of a broadcast
+    contains() theta-join, so the probe side can be arbitrarily large
+    (a full benchmark suite, or another corpus).
+
+    Plan: winnow postings for BOTH sides (dedup.winnow_postings — one
+    Arrow pass each), hash-join on the fingerprint, distinct candidate
+    (doc, probe) pairs, then an exact contains() VERIFY with the text
+    re-attached per unique candidate pair.  Winnowing guarantees any
+    shared substring of length >= WINNOW_W + WINNOW_K - 1 yields a
+    shared fingerprint (SIGMOD'03), so for probes of at least that
+    length the candidate set is a superset of the true hits and the
+    verify makes the result EXACTLY equal to the broadcast path
+    (equivalence pinned by tests/test_textqc_decon.py).  Shorter
+    probes void the guarantee — rejected up front rather than
+    silently under-reporting contamination.
+
+    ``max_postings`` (optional): drop fingerprints held by more than
+    this many DOCUMENTS before the join — the stop-fingerprint skew
+    guard for corpora with ubiquitous boilerplate.  Off by default
+    because it can introduce false negatives for probes whose ONLY
+    shared fingerprint is a popular one; prefer exact unless the
+    posting histogram (a cheap groupBy count) shows hot keys."""
+    from sequali_spark.functions.kernels import WINNOW_K, WINNOW_W
+    from sequali_spark.operators.dedup import winnow_postings
+
+    min_len = WINNOW_W + WINNOW_K - 1
+    short = (
+        probes.filter(F.length("probe") < min_len).limit(1).collect()
+    )
+    if short:
+        raise ValueError(
+            f"probe {short[0]['probe']!r} is shorter than {min_len} chars: "
+            "the winnowing shared-fingerprint guarantee needs substrings of "
+            f"length >= w+k-1 = {min_len}; use decontamination_hits "
+            "(broadcast path) for short probes"
+        )
+    doc_posts = winnow_postings(docs)
+    probe_posts = winnow_postings(probes, id_col="probe_doc", text_col="probe")
+    if max_postings is not None:
+        pw = W.partitionBy("fp")
+        doc_posts = (
+            doc_posts.withColumn("_n", F.count("*").over(pw))
+            .filter(F.col("_n") <= max_postings)
+            .drop("_n")
+        )
+    cand = doc_posts.join(probe_posts, "fp").select("doc_id", "probe_doc").distinct()
+    # exact verify per unique candidate pair: contains() with the text
+    # re-attached — candidates are rare, so the wide text column is
+    # joined per-hit, never shuffled corpus-wide
+    return (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .join(probes.select("probe_doc", "probe"), "probe_doc")
+        .filter(F.col("text").contains(F.col("probe")))
+    )
+
+
+DECON_WINNOW_PROBE_LEN = 24  # >= WINNOW_W + WINNOW_K - 1 = 23
+
+
+def benchmark_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow-path twin of benchmark_decontaminate: the same
+    corpus-derived probe recipe (prefix length 24 — past the
+    w+k-1 = 23 winnowing guarantee threshold), routed through
+    decontamination_hits_winnow instead of the broadcast theta-join,
+    with the self-hit excluded to mirror the broadcast query's
+    semantics.  Because the winnow path is exactly equivalent to
+    contains() for guaranteed-length probes, this query is
+    ORACLE-BACKED: the DuckDB side runs the plain contains() SQL, so
+    the driver's hash gate cross-checks the dual-path identity on
+    real data every round."""
+    docs = load(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("n_chars") >= DECON_MIN_CHARS)
+        .orderBy("doc_id")
+        .limit(DECON_N_PROBES)
+        .select(
+            F.col("doc_id").alias("probe_doc"),
+            F.substring("text", 1, DECON_WINNOW_PROBE_LEN).alias("probe"),
+        )
+    )
+    hits = decontamination_hits_winnow(docs, probes).filter(
+        F.col("doc_id") != F.col("probe_doc")
+    )
+    return (
+        hits.groupBy("probe_doc", "probe")
+        .agg(
+            F.count("*").alias("contaminated_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("probe_doc")
+    )
 
 
 def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

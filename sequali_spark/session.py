@@ -32,6 +32,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=false (Spark's own recommendation): coalesce
+        # small shuffles to the 64MB advisory size instead of keeping
+        # defaultParallelism partitions.  With the default, a KB-sized
+        # shuffle (band buckets, verify joins at small SF) fans out to
+        # 32 single-digit-row tasks and every tiny stage pays 32x task
+        # overhead — measured ~40% of dedup_minhash_pairs wall at
+        # sf0.1.  Large shuffles are unaffected (they exceed the
+        # advisory size and keep their partitioning), so this is purely
+        # the small-stage latency fix; explicit repartition() calls
+        # (the Python sketch spread) are never coalesced by AQE.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -526,25 +526,119 @@ def test_pq_adc_score_matches_numpy_reference(spark, clustered_embeddings):
 
 
 def test_ivfpq_full_probe_equals_pq(spark, clustered_embeddings):
-    """IVF-PQ with n_probe == n_centroids is exhaustive: the probe
-    filter passes everything, so the result must be IDENTICAL to plain
-    PQ-ADC on the same codebooks/codes — the composition adds pruning,
-    never a different scoring path."""
+    """Raw-coded IVF-PQ with n_probe == n_centroids is exhaustive: the
+    probe filter passes everything, so the result must be IDENTICAL to
+    plain PQ-ADC on the same codebooks — the composition adds pruning,
+    never a different scoring path.  (The fused ivfpq_encode frame
+    carries the centroid column, but with residual=False the codes and
+    scores are exactly pq_encode's.)"""
     from sequali_spark.operators import similarity as sim
 
     e = clustered_embeddings
     books = sim.pq_train(e, n_sample=500, n_iter=8)
-    codes = sim.pq_encode(e, books).persist()
     cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    fused = sim.ivfpq_encode(e, cents, books, residual=False).persist()
     pq = sim.pq_topk_for(
-        e, n_queries=5, k=5, rerank_factor=4, codebooks=books, codes=codes
+        e, n_queries=5, k=5, rerank_factor=4, codebooks=books,
+        codes=sim.pq_encode(e, books),
     ).collect()
     ivfpq = sim.ivfpq_topk_for(
         e, n_queries=5, k=5, n_centroids=8, n_probe=8, rerank_factor=4,
-        centroids=cents, codebooks=books, codes=codes,
+        centroids=cents, codebooks=books, codes=fused, residual=False,
     ).collect()
-    codes.unpersist()
+    fused.unpersist()
     assert [tuple(r) for r in pq] == [tuple(r) for r in ivfpq]
+
+
+def test_ivfpq_rejects_unfused_codes(spark, clustered_embeddings):
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    books = sim.pq_train(e, n_sample=500, n_iter=8)
+    with pytest.raises(ValueError, match="fused"):
+        sim.ivfpq_topk_for(e, codebooks=books, codes=sim.pq_encode(e, books))
+
+
+def test_ivfpq_encode_matches_numpy(spark, clustered_embeddings):
+    """The fused (assign + residual-encode) Arrow kernel must equal the
+    straight numpy pipeline: nearest-centroid by max cosine, then
+    per-subspace argmin squared-L2 against the codebooks on
+    (x - centroid)."""
+    import numpy as np
+
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    books = sim.pq_train_residual(e, cents, n_sample=500, n_iter=8)
+    got = {
+        r["vec_id"]: (r["centroid"], list(r["codes"]))
+        for r in sim.ivfpq_encode(e, cents, books).collect()
+    }
+    rows = e.orderBy("vec_id").collect()
+    sub = 64 // sim.PQ_M
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        cid = int((cents @ x).argmax())
+        xr = x - cents[cid]
+        codes = [
+            int(
+                (
+                    ((xr[s * sub : (s + 1) * sub] - books[s]) ** 2).sum(axis=1)
+                ).argmin()
+            )
+            for s in range(sim.PQ_M)
+        ]
+        assert got[r["vec_id"]] == (cid, codes), r["vec_id"]
+
+
+def test_residual_ivfpq_scores_match_numpy_oracle(spark, clustered_embeddings):
+    """Full-probe RESIDUAL IVF-PQ against an independent numpy oracle of
+    the whole pipeline — the residual analogue of the raw structural
+    identity: score = q.centroid[assigned] + q.reconstruction(residual
+    codes), global shortlist by (score desc, id), exact cosine re-rank
+    of the shortlist."""
+    import numpy as np
+
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    n_queries, k, rerank_factor, n_cents = 5, 5, 4, 8
+    cents = sim.kmeans_centroids(e, n_centroids=n_cents, n_iter=2)
+    books = sim.pq_train_residual(e, cents, n_sample=500, n_iter=8)
+    fused = sim.ivfpq_encode(e, cents, books).persist()
+    got = sim.ivfpq_topk_for(
+        e, n_queries=n_queries, k=k, n_centroids=n_cents, n_probe=n_cents,
+        rerank_factor=rerank_factor, centroids=cents, codebooks=books,
+        codes=fused,
+    ).collect()
+    codes = {r["vec_id"]: np.array(r["codes"]) for r in fused.collect()}
+    cid = {r["vec_id"]: r["centroid"] for r in fused.collect()}
+    fused.unpersist()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.collect()
+    }
+    sub = 64 // sim.PQ_M
+    want = []
+    for qid in range(n_queries):
+        q = vecs[qid]
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            recon = np.concatenate(
+                [books[s, codes[vid][s]] for s in range(sim.PQ_M)]
+            )
+            scored.append((-(q @ cents[cid[vid]] + q @ recon), vid))
+        scored.sort()
+        shortlist = [vid for _, vid in scored[: k * rerank_factor]]
+        exact = sorted(
+            ((-(q @ vecs[vid]), vid) for vid in shortlist)
+        )[:k]
+        for rank, (neg, vid) in enumerate(exact, start=1):
+            want.append((qid, vid, rank, int(np.floor(10000 * -neg))))
+    assert [tuple(r) for r in got] == want
 
 
 def test_ivfpq_partial_probe_recall(spark, clustered_embeddings):

@@ -88,6 +88,9 @@ EXPECTED_OVERFLOW = {
     "doc_stratified_sample",
     "events_type_totals",
     "rel_order_priority",
+    # r5 addition (window frozen): the winnow-path decontamination twin,
+    # oracle-backed via the contains() equivalence
+    "doc_decontaminate_winnow",
 }
 
 
@@ -116,8 +119,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 77
-    assert len(entry_mod.oracle_sql()) == 61
+    assert len(entry_mod.queries()) == 78
+    assert len(entry_mod.oracle_sql()) == 62
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
