@@ -19,8 +19,11 @@ with struct+numpy only (no imaging stack in this container):
 - **PNG** (8-bit RGB/RGBA, non-interlaced): chunk walk with CRC
   verify, stdlib zlib inflate, per-scanline unfilter (none/sub/up/
   average/Paeth) in numpy — no imaging stack needed.
-- **PIL-gated path** for JPEG and exotic PNG variants when the
-  environment provides an imaging stack (``HAVE_PIL``).
+- **JPEG** (sequential baseline SOF0, r5): full stdlib decode — marker
+  walk, canonical Huffman, dequant+dezigzag, separable float IDCT,
+  4:2:0/4:2:2 upsampling, restart intervals (sources/jpeg.py).
+- **PIL-gated path** for progressive JPEG and exotic PNG variants when
+  the environment provides an imaging stack (``HAVE_PIL``).
 - **Opaque fallback**: unknown magics get a byte-histogram feature —
   decode never fails a batch (the skipped_reason soft-degrade
   discipline); the emitted ``codec`` column says which path ran.
@@ -356,11 +359,20 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
 
                 img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
                 return "pil", image_features(img)
-        if HAVE_PIL and payload[:3] == b"\xff\xd8\xff":
-            import io
+        if payload[:3] == b"\xff\xd8\xff":
+            try:
+                from sequali_spark.sources.jpeg import decode_jpeg_baseline
 
-            img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-            return "pil", image_features(img)
+                return "jpeg-baseline", image_features(decode_jpeg_baseline(payload))
+            except (ValueError, struct.error):
+                # outside the baseline envelope (progressive, 12-bit,
+                # exotic sampling) — PIL if available, else opaque
+                if not HAVE_PIL:
+                    raise
+                import io
+
+                img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+                return "pil", image_features(img)
     # OSError covers PIL's UnidentifiedImageError (its subclass) and
     # truncated-file reads; MemoryError covers hostile dims that slip
     # past a decoder's own bounds — a corrupt payload must NEVER fail

@@ -1,0 +1,143 @@
+"""Baseline JPEG codec: round-trip properties, spec-envelope guards,
+and soft-degrade integration — same discipline as the PNG/BMP/WAV
+codec tests (encode twin is fixture-grade by design)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sequali_spark.sources.jpeg import (
+    MAX_JPEG_DECODED_BYTES,
+    decode_jpeg_baseline,
+    dct2,
+    encode_jpeg_baseline,
+    idct2,
+)
+from sequali_spark.sources.multimodal import decode_payload
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 1, w)
+    y = np.linspace(0, 1, h)
+    return np.stack(
+        [np.outer(y, x) * 255, np.outer(1 - y, x) * 255, np.full((h, w), 128.0)],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_idct_is_exact_inverse_of_dct():
+    rng = np.random.RandomState(0)
+    b = rng.rand(8, 8) * 255
+    np.testing.assert_allclose(idct2(dct2(b)), b, atol=1e-9)
+
+
+def test_grayscale_round_trip():
+    g = (np.add.outer(np.arange(24), np.arange(40)) * 3 % 256).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(g))
+    assert out.shape == (24, 40, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (33, 50), (17, 9), (1, 1)])
+def test_color_round_trip_odd_dims(h, w):
+    img = _gradient(h, w)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert out.shape == (h, w, 3)
+    # smooth content: error stays at quantization level
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
+
+
+def test_restart_interval_round_trip():
+    img = _gradient(40, 56)  # 5x7 = 35 MCUs
+    plain = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    with_rst = decode_jpeg_baseline(encode_jpeg_baseline(img, restart_interval=4))
+    # restart markers change the byte stream, not the pixels
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_progressive_sof2_rejected():
+    jp = bytearray(encode_jpeg_baseline(_gradient(8, 8)))
+    i = jp.find(b"\xff\xc0")
+    jp[i + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_baseline(bytes(jp))
+
+
+def test_decompression_bomb_guarded_before_alloc():
+    jp = bytearray(encode_jpeg_baseline(_gradient(8, 8)))
+    i = jp.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) — declare a 60000x60000 image
+    struct.pack_into(">HH", jp, i + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="MAX_JPEG_DECODED_BYTES"):
+        decode_jpeg_baseline(bytes(jp))
+    assert 60000 * 60000 * 3 > MAX_JPEG_DECODED_BYTES
+
+
+def test_truncated_scan_raises():
+    jp = encode_jpeg_baseline(_gradient(32, 32))
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(jp[: len(jp) // 2])
+
+
+def test_decode_payload_routes_jpeg_and_degrades():
+    jp = encode_jpeg_baseline(_gradient(16, 16))
+    codec, feats = decode_payload(jp)
+    assert codec == "jpeg-baseline"
+    assert feats.shape == (32,) and feats.dtype == np.float32
+    # corrupt payload with a JPEG magic must soft-degrade, never raise
+    codec2, _ = decode_payload(b"\xff\xd8\xff\xe0garbage-not-a-jpeg")
+    assert codec2 in ("opaque", "pil")
+
+
+def test_random_corruption_never_escapes_decode_payload():
+    """Flip bytes all over a valid stream: decode_payload must return
+    SOME (codec, features) for every corruption — wrong pixels are
+    acceptable, exceptions are not (the reference's graceful-degrade
+    discipline, util.py:113-123)."""
+    rng = np.random.RandomState(5)
+    base = bytearray(encode_jpeg_baseline(_gradient(24, 24)))
+    for _ in range(60):
+        jp = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            jp[rng.randint(2, len(jp))] = rng.randint(0, 256)
+        codec, feats = decode_payload(bytes(jp))
+        assert feats.shape == (32,)
+
+
+def test_features_match_png_path_for_same_pixels():
+    """The feature kernel downstream of decode is codec-agnostic: the
+    same pixels through the JPEG path give (near-)identical features to
+    the lossless PNG path — lossy-compression error only."""
+    from sequali_spark.sources.multimodal import encode_png
+
+    img = _gradient(32, 64)
+    c_png, f_png = decode_payload(encode_png(img))
+    c_jpg, f_jpg = decode_payload(encode_jpeg_baseline(img))
+    assert (c_png, c_jpg) == ("png", "jpeg-baseline")
+    assert np.abs(f_png - f_jpg).max() < 0.02
+
+
+def test_decode_features_stage_tags_jpeg(spark):
+    """Arrow-stage integration: a jpeg payload in the media frame comes
+    out with codec='jpeg-baseline' and a real feature vector."""
+    import pandas as pd
+
+    from sequali_spark.sources.multimodal import decode_features
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": ["j1", "o1"],
+            "kind": ["image", "image"],
+            "payload": [encode_jpeg_baseline(_gradient(16, 24)), b"unknownmagic"],
+            "meta": [
+                {"width": 24, "height": 16, "duration_ms": 0, "mime": "image/jpeg"},
+                {"width": 0, "height": 0, "duration_ms": 0, "mime": "application/octet-stream"},
+            ],
+        }
+    )
+    from sequali_spark.sources.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r["codec"] for r in decode_features(df).collect()}
+    assert got == {"j1": "jpeg-baseline", "o1": "opaque"}
