@@ -146,7 +146,10 @@ _SHINGLE_K = 5
 
 
 def _batch_minhash_matrix(
-    texts: list[str], k: int = _SHINGLE_K, tile: int = 8192
+    texts: list[str],
+    k: int = _SHINGLE_K,
+    tile: int = 8192,
+    byte_budget: int = 4 << 20,
 ) -> np.ndarray:
     """Batched 64-permutation minhash over a whole Arrow batch of texts,
     bit-identical to per-doc ``_minhash_signature`` (pinned by
@@ -167,7 +170,17 @@ def _batch_minhash_matrix(
        RAM and ran 4x slower) — the tile bounds the working set.
 
     A single doc whose shingle count exceeds ``tile`` forms its own
-    group (same working set as the per-doc kernel had)."""
+    group (same working set as the per-doc kernel had).
+
+    ``byte_budget`` bounds the TRANSIENT footprint: the rolling-hash /
+    gather temporaries cost ~24 bytes per input byte, and Arrow batches
+    cap ROWS (10k), not bytes — a batch of long documents would
+    otherwise materialize tens of GB of uint64 scratch at once
+    (code-review r5; the r3 whole-batch-matrix lesson, one level up).
+    Docs are processed in sub-batches of at most ~byte_budget encoded
+    bytes; chunking cannot change a signature (each doc's shingles are
+    computed entirely within its chunk — pinned by the identity test's
+    byte_budget sweep)."""
     n_docs = len(texts)
     sigs = np.empty((n_docs, N_MINHASH), dtype=np.int64)
     if n_docs == 0:
@@ -180,6 +193,25 @@ def _batch_minhash_matrix(
             b = b + b"\x00" * (k - len(b))
         bufs.append(b)
         lens[i] = len(b)
+    start = 0
+    while start < n_docs:
+        end = start + 1
+        total = int(lens[start])
+        while end < n_docs and total + lens[end] <= byte_budget:
+            total += int(lens[end])
+            end += 1
+        _minhash_chunk(bufs[start:end], lens[start:end], sigs[start:end], k, tile)
+        start = end
+    return sigs
+
+
+def _minhash_chunk(
+    bufs: list[bytes], lens: np.ndarray, sigs_out: np.ndarray, k: int, tile: int
+) -> None:
+    """One bounded sub-batch of _batch_minhash_matrix: global rolling
+    hash over the chunk's concatenated bytes, boundary-straddling
+    windows dropped by a gather, tiled segment minima into sigs_out."""
+    n_docs = len(bufs)
     cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     offs = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -212,9 +244,8 @@ def _batch_minhash_matrix(
             v = a_col * sh[None, :] + b_col
             v = (v & m) + (v >> np.uint64(61))
             v -= m * (v >= m)
-            sigs[g:end] = np.minimum.reduceat(v, sh_offs[g:end] - s0, axis=1).T
+            sigs_out[g:end] = np.minimum.reduceat(v, sh_offs[g:end] - s0, axis=1).T
             g = end
-    return sigs
 
 
 _BAND_POWERS = (np.uint64(31) ** np.arange(
@@ -405,15 +436,33 @@ def _ring_edges(
     """
     keys = [F.col(c) for c in key_cols]
     order_hash = F.xxhash64(F.col(id_col), keys[-1])
-    cnt_w = W.partitionBy(*key_cols)
-    counted = exploded.withColumn(
-        "_n_sub", F.ceil(F.count("*").over(cnt_w) / F.lit(ring_cap)).cast("long")
+    # Over-cap bucket sizes via groupBy (map-side partial aggregation:
+    # one row per bucket ever shuffles) + a BROADCAST join back — NOT a
+    # count-over-window, which would itself shuffle and sort the entire
+    # hot bucket onto one task before the salted split could help
+    # (code-review r5).  The broadcast side holds only buckets ABOVE
+    # the cap: each needs > ring_cap members, and over-cap buckets are
+    # the pathology this guard exists for, so their count is tiny by
+    # assumption (a corpus where most buckets exceed the cap means the
+    # banding itself has collapsed — raise ring_cap or collapse exact
+    # duplicates first).
+    over_cap = (
+        exploded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > ring_cap)
+        .select(
+            *key_cols,
+            F.ceil(F.col("_n") / F.lit(ring_cap)).cast("long").alias("_n_sub"),
+        )
     )
+    counted = exploded.join(F.broadcast(over_cap), key_cols, "left")
     # different literal seed than the ordering hash: salt and order must
     # be independent draws or sub-buckets would be contiguous runs
     salted = counted.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.lit(741), F.col(id_col), keys[-1]), F.col("_n_sub")),
+        F.when(F.col("_n_sub").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.lit(741), F.col(id_col), keys[-1]), F.col("_n_sub"))
+        ),
     )
     bucket_w = W.partitionBy(*key_cols, "_salt").orderBy(order_hash, F.col(id_col))
     # leads materialized in their own projection: Spark rejects window

@@ -524,7 +524,11 @@ def ivfpq_encode(
 
     return e.select("vec_id", "embedding").mapInPandas(
         _enc, schema="vec_id long, centroid long, codes array<long>"
-    )
+    ).withMetadata("codes", {"residual": residual})
+    # ^ schema-level marker (zero runtime cost, survives parquet): lets
+    # ivfpq_topk_for detect a codes frame encoded with the OPPOSITE
+    # residual flag, which would silently double-count or drop the
+    # coarse term (code-review r5)
 
 
 def pq_topk_for(
@@ -667,6 +671,15 @@ def ivfpq_topk_for(
             "from ivfpq_encode, not a plain pq_encode frame — the separate "
             "assign join was the r4 scale bug this signature removes"
         )
+    else:
+        meta = codes.schema["codes"].metadata or {}
+        if "residual" in meta and bool(meta["residual"]) != residual:
+            raise ValueError(
+                f"codes frame was encoded with residual={bool(meta['residual'])} "
+                f"but ivfpq_topk_for was called with residual={residual}: the "
+                "scan would silently double-count or drop the coarse "
+                "q.centroid term — re-encode or pass the matching flag"
+            )
     m, kk, sub_dim = codebooks.shape
 
     q_rows = (

@@ -27,7 +27,14 @@ import struct
 
 import numpy as np
 
-MAX_JPEG_DECODED_BYTES = 64 * 1024 * 1024
+# Pixel cap sized against the decoder's PEAK footprint, not the output
+# bytes: decode holds float64 component planes at MCU-padded resolution
+# plus upsample copies and the float64 RGB stack (~24x the uint8 output
+# transiently), and the per-bit Python Huffman loop makes CPU scale
+# with pixels too.  4M pixels ~ <400MB transient and bounded seconds of
+# decode — the thumbnail/preview envelope this media stage serves.
+MAX_JPEG_PIXELS = 4_000_000
+MAX_JPEG_DECODED_BYTES = MAX_JPEG_PIXELS * 3  # uint8 RGB output bound
 
 # zigzag: index i of the scan order -> (row, col) flat index
 ZIGZAG = np.array([
@@ -226,6 +233,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # optional 0xFF fill bytes before a marker are legal (B.1.1.2)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated at fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -282,10 +294,16 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if sof is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = sof
+    if len(scan_comps) != len(comps):
+        # T.81 allows one-scan-per-component sequential files; this
+        # decoder implements only the single interleaved scan — a
+        # partial decode would return confidently WRONG pixels (zeroed
+        # chroma), so refuse and let decode_payload soft-degrade
+        raise ValueError("multi-scan (non-interleaved) baseline not supported")
     if h == 0 or w == 0:
         raise ValueError("zero dimension")
-    if h * w * 3 > MAX_JPEG_DECODED_BYTES:
-        raise ValueError("decoded size exceeds MAX_JPEG_DECODED_BYTES")
+    if h * w > MAX_JPEG_PIXELS:
+        raise ValueError("decoded size exceeds MAX_JPEG_PIXELS")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):

@@ -360,19 +360,18 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
                 img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
                 return "pil", image_features(img)
         if payload[:3] == b"\xff\xd8\xff":
-            try:
-                from sequali_spark.sources.jpeg import decode_jpeg_baseline
-
-                return "jpeg-baseline", image_features(decode_jpeg_baseline(payload))
-            except (ValueError, struct.error):
-                # outside the baseline envelope (progressive, 12-bit,
-                # exotic sampling) — PIL if available, else opaque
-                if not HAVE_PIL:
-                    raise
+            # PIL first when the environment has it: libjpeg decodes at
+            # C speed and covers progressive too — the stdlib baseline
+            # decoder is the PIL-less path (this container), not a
+            # replacement for an imaging stack (code-review r5)
+            if HAVE_PIL:
                 import io
 
                 img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
                 return "pil", image_features(img)
+            from sequali_spark.sources.jpeg import decode_jpeg_baseline
+
+            return "jpeg-baseline", image_features(decode_jpeg_baseline(payload))
     # OSError covers PIL's UnidentifiedImageError (its subclass) and
     # truncated-file reads; MemoryError covers hostile dims that slip
     # past a decoder's own bounds — a corrupt payload must NEVER fail

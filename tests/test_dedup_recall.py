@@ -559,6 +559,23 @@ def test_ivfpq_rejects_unfused_codes(spark, clustered_embeddings):
         sim.ivfpq_topk_for(e, codebooks=books, codes=sim.pq_encode(e, books))
 
 
+def test_ivfpq_rejects_residual_flag_mismatch(spark, clustered_embeddings):
+    """A fused codes frame carries its residual flag as column metadata;
+    querying with the opposite flag must raise instead of silently
+    double-counting / dropping the coarse term."""
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    books = sim.pq_train(e, n_sample=500, n_iter=8)
+    raw = sim.ivfpq_encode(e, cents, books, residual=False)
+    with pytest.raises(ValueError, match="residual=False"):
+        sim.ivfpq_topk_for(
+            e, n_centroids=8, centroids=cents, codebooks=books,
+            codes=raw, residual=True,
+        )
+
+
 def test_ivfpq_encode_matches_numpy(spark, clustered_embeddings):
     """The fused (assign + residual-encode) Arrow kernel must equal the
     straight numpy pipeline: nearest-centroid by max cosine, then

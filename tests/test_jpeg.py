@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from sequali_spark.sources.jpeg import (
-    MAX_JPEG_DECODED_BYTES,
+    MAX_JPEG_PIXELS,
     decode_jpeg_baseline,
     dct2,
     encode_jpeg_baseline,
@@ -69,9 +69,38 @@ def test_decompression_bomb_guarded_before_alloc():
     i = jp.find(b"\xff\xc0")
     # SOF0 body: len(2) prec(1) h(2) w(2) — declare a 60000x60000 image
     struct.pack_into(">HH", jp, i + 5, 60000, 60000)
-    with pytest.raises(ValueError, match="MAX_JPEG_DECODED_BYTES"):
+    with pytest.raises(ValueError, match="MAX_JPEG_PIXELS"):
         decode_jpeg_baseline(bytes(jp))
-    assert 60000 * 60000 * 3 > MAX_JPEG_DECODED_BYTES
+    assert 60000 * 60000 > MAX_JPEG_PIXELS
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    # optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
+    jp = encode_jpeg_baseline(_gradient(16, 16))
+    i = jp.find(b"\xff\xdb")
+    padded = jp[:i] + b"\xff\xff" + jp[i:]
+    np.testing.assert_array_equal(
+        decode_jpeg_baseline(padded), decode_jpeg_baseline(jp)
+    )
+
+
+def test_multi_scan_rejected_not_half_decoded():
+    """A scan header covering fewer components than the SOF declares
+    (the non-interleaved multi-scan layout) must raise — a partial
+    decode would return confidently wrong (chroma-zeroed) pixels."""
+    jp = encode_jpeg_baseline(_gradient(16, 16))
+    i = jp.find(b"\xff\xda")
+    (old_len,) = struct.unpack(">H", jp[i + 2 : i + 4])
+    new_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: luma scan only
+    patched = (
+        jp[:i]
+        + b"\xff\xda"
+        + struct.pack(">H", len(new_body) + 2)
+        + new_body
+        + jp[i + 2 + old_len :]
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg_baseline(patched)
 
 
 def test_truncated_scan_raises():

@@ -47,5 +47,21 @@ def test_batch_matches_per_doc_random_any_tile(tile):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("byte_budget", [1, 100, 1000, 4 << 20])
+def test_batch_matches_per_doc_any_byte_budget(byte_budget):
+    # the transient-memory chunking (sub-batches of <= byte_budget
+    # encoded bytes) must never change a signature — budgets below a
+    # single doc's size force one-doc chunks
+    rng = np.random.RandomState(11)
+    alphabet = list("abcdefgh ijklmnop")
+    texts = [
+        "".join(rng.choice(alphabet, size=rng.randint(0, 300)))
+        for _ in range(40)
+    ]
+    got = _batch_minhash_matrix(texts, byte_budget=byte_budget)
+    want = np.stack([_minhash_signature(t) for t in texts])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_batch_empty_input():
     assert _batch_minhash_matrix([]).shape == (0, 64)
