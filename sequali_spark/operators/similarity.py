@@ -531,6 +531,32 @@ def ivfpq_encode(
     # coarse term (code-review r5)
 
 
+def write_ivfpq_index(codes: DataFrame, path: str) -> None:
+    """Persist the fused index PARTITIONED BY centroid — the on-disk
+    inverted LIST: each coarse cell is its own directory, so a probe
+    filter (``centroid IN probes``) becomes partition pruning at scan
+    time and an n_probe/n_centroids query reads exactly that fraction
+    of the index bytes (pinned by a PartitionFilters plan test).  This
+    is the at-scale complement of the in-memory fused frame: encode
+    once, write once, then every query is a pruned codes-only scan —
+    at 10^12 vectors the index is 16 TB of codes instead of 256 TB of
+    floats, and a probe-8-of-256 query scans ~500 GB of it."""
+    codes.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def read_ivfpq_index(spark: SparkSession, path: str, residual: bool = True) -> DataFrame:
+    """Read a written index back into the fused-frame shape
+    ivfpq_topk_for expects.  The partition column comes back
+    type-inferred (int) — recast to long — and the residual marker is
+    re-stamped from the caller's declaration (parquet round-trips the
+    field metadata only for non-partition readers of the exact schema;
+    the flag is part of the index's identity, like its codebooks)."""
+    df = spark.read.parquet(path).select(
+        "vec_id", F.col("centroid").cast("long").alias("centroid"), "codes"
+    )
+    return df.withMetadata("codes", {"residual": residual})
+
+
 def pq_topk_for(
     e: DataFrame,
     n_queries: int = 10,

@@ -609,6 +609,38 @@ def test_ivfpq_encode_matches_numpy(spark, clustered_embeddings):
         assert got[r["vec_id"]] == (cid, codes), r["vec_id"]
 
 
+def test_ivfpq_index_on_disk_prunes_partitions(spark, clustered_embeddings, tmp_path):
+    """The written index is a real inverted list: a probe filter over
+    the read-back frame prunes partitions at scan time (PartitionFilters
+    in the plan, not a post-scan Filter), and querying through the
+    on-disk index returns exactly the in-memory result."""
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators import similarity as sim
+    from sequali_spark.plans.checks import physical_plan
+
+    e = clustered_embeddings
+    cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    books = sim.pq_train_residual(e, cents, n_sample=500, n_iter=8)
+    fused = sim.ivfpq_encode(e, cents, books)
+    path = str(tmp_path / "ivfpq_index")
+    sim.write_ivfpq_index(fused, path)
+
+    back = sim.read_ivfpq_index(spark, path)
+    plan = physical_plan(back.filter(F.col("centroid").isin([1, 3])))
+    assert "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters", 1)[1][:200]
+
+    want = sim.ivfpq_topk_for(
+        e, n_queries=5, k=5, n_centroids=8, n_probe=4,
+        centroids=cents, codebooks=books, codes=fused,
+    ).collect()
+    got = sim.ivfpq_topk_for(
+        e, n_queries=5, k=5, n_centroids=8, n_probe=4,
+        centroids=cents, codebooks=books, codes=back,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_residual_ivfpq_scores_match_numpy_oracle(spark, clustered_embeddings):
     """Full-probe RESIDUAL IVF-PQ against an independent numpy oracle of
     the whole pipeline — the residual analogue of the raw structural
