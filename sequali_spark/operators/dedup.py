@@ -205,6 +205,35 @@ def _batch_minhash_matrix(
     return sigs
 
 
+def _chunk_shingles(
+    bufs: list[bytes], lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared batch-shingling stage: ONE global rolling-FNV pass over a
+    chunk's concatenated bytes, boundary-straddling windows dropped by a
+    gather.  Returns (sh_all, sh_offs): every doc's shingle multiset
+    concatenated, plus per-doc segment offsets.  Caller must hold
+    np.errstate(over='ignore')."""
+    n_docs = len(bufs)
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    n_global = offs[-1] - k + 1
+    h = np.zeros(n_global, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV_PRIME + cat[j : n_global + j].astype(np.uint64)
+    # gather each doc's valid window starts (doc i owns global
+    # positions [offs[i], offs[i] + lens[i] - k + 1))
+    n_sh = lens - (k - 1)
+    sh_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_offs[1:])
+    idx = (
+        np.arange(sh_offs[-1], dtype=np.int64)
+        - np.repeat(sh_offs[:-1], n_sh)
+        + np.repeat(offs[:-1], n_sh)
+    )
+    return h[idx], sh_offs
+
+
 def _minhash_chunk(
     bufs: list[bytes], lens: np.ndarray, sigs_out: np.ndarray, k: int, tile: int
 ) -> None:
@@ -212,25 +241,8 @@ def _minhash_chunk(
     hash over the chunk's concatenated bytes, boundary-straddling
     windows dropped by a gather, tiled segment minima into sigs_out."""
     n_docs = len(bufs)
-    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    offs = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    n_global = offs[-1] - k + 1
     with np.errstate(over="ignore"):
-        h = np.zeros(n_global, dtype=np.uint64)
-        for j in range(k):
-            h = h * _FNV_PRIME + cat[j : n_global + j].astype(np.uint64)
-        # gather each doc's valid window starts (doc i owns global
-        # positions [offs[i], offs[i] + lens[i] - k + 1))
-        n_sh = lens - (k - 1)
-        sh_offs = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(n_sh, out=sh_offs[1:])
-        idx = (
-            np.arange(sh_offs[-1], dtype=np.int64)
-            - np.repeat(sh_offs[:-1], n_sh)
-            + np.repeat(offs[:-1], n_sh)
-        )
-        sh_all = h[idx]
+        sh_all, sh_offs = _chunk_shingles(bufs, lens, k)
         m = np.uint64(_MERSENNE)
         a_col = _MH_A[:, None]
         b_col = _MH_B[:, None]
@@ -690,8 +702,6 @@ def simhash_near_dup_pairs(
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
-    import hashlib as _hl
-
     d = load(spark, sf_dir, "documents")
     schema = "doc_id long, digest string, simhash long"
 
@@ -700,23 +710,33 @@ def simhash_near_dup_pairs(
             if not len(pdf):
                 continue
             texts = [(t or "") for t in pdf["text"]]
+            # per-doc on purpose: a batched simhash (shared shingling +
+            # segment-lexsort distinct + reduceat bit votes) was built
+            # and MEASURED 2x slower — the global lexsort over all
+            # shingles costs more than n_docs tiny cache-hot per-doc
+            # np.unique sorts (r5; same lesson as the r3 whole-matrix
+            # minhash batching)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "digest": [_hl.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    "digest": pdf["digest"].to_numpy(),
                     "simhash": [_simhash(t) for t in texts],
                 }
             )
 
     _release_prior_cache("simhash")
-    # simhash + exact-dup digest in one map-side pass; rep selection is
-    # the shared collapse_exact_reps window over the ~50 B/doc
-    # fingerprint frame — the text column never shuffles
+    # simhash + exact-dup digest in one map-side pass (digest JVM-side,
+    # like minhash_signatures); rep selection is the shared
+    # collapse_exact_reps aggregation over the ~50 B/doc fingerprint
+    # frame — the text column never shuffles
+    prepared = d.select(
+        "doc_id",
+        "text",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+    )
     fps = (
         collapse_exact_reps(
-            _spread_for_python(d.select("doc_id", "text")).mapInPandas(
-                _batches, schema=schema
-            )
+            _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
         )
         .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
         .persist()
