@@ -71,6 +71,35 @@ def _release_prior_cache(key: str) -> None:
             pass
 
 
+def _persist_pinned(key: str, df: DataFrame) -> DataFrame:
+    """Persist + EAGERLY materialize a sketch frame under the cache
+    registry.  The eager count() is load-bearing, not a warmup: the
+    downstream verify stage reads the frame from broadcast-exchange
+    futures that Spark launches CONCURRENTLY with the main job — on a
+    cold cache they all race and each recomputes the full Python sketch
+    stage (measured r5: 4 duplicate 32-task runs, ~4x the sketch
+    core-seconds).  Pinning the cache first makes every downstream read
+    a cache hit.  (The production dedup job goes further and
+    checkpoints the frame to parquet — jobs/run_dedup.py.)"""
+    _release_prior_cache(key)
+    df = df.persist()
+    _CACHED[key] = df
+    df.count()
+    return df
+
+
+def _with_digest(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text, digest) projection with the exact-dup md5 computed
+    JVM-side in the same select the scan feeds — ``F.md5`` of the utf-8
+    bytes is byte-identical to hashlib's lowercase hexdigest, so no
+    per-doc Python digest loop rides in the Arrow stage."""
+    return df.select(
+        id_col,
+        text_col,
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
+    )
+
+
 # --- MinHash + LSH near-dup -------------------------------------------------
 
 N_MINHASH = 64
@@ -288,12 +317,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """(id, digest, signature array<long>, bands array<long>) via one
     Arrow stage — the exact-dup digest rides along so rep selection
     never needs a second pass over (or shuffle of) the text.  Zero
-    per-doc Python: the digest is computed JVM-side (``F.md5`` of the
-    utf-8 bytes — byte-identical to hashlib's lowercase hexdigest) in
-    the same projection the scan feeds, and the Arrow stage runs ONE
-    batched signature kernel (_batch_minhash_matrix: global rolling-FNV
-    + tiled segment-minima) plus ONE vectorized band-mix (_band_keys)
-    per batch."""
+    per-doc Python: the digest is computed JVM-side (_with_digest) and
+    the Arrow stage runs ONE batched signature kernel
+    (_batch_minhash_matrix: global rolling-FNV + tiled segment-minima)
+    plus ONE vectorized band-mix (_band_keys) per batch."""
     id_type = dict(docs.dtypes)[id_col]
     schema = f"{id_col} {id_type}, digest string, signature array<long>, bands array<long>"
 
@@ -311,11 +338,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 }
             )
 
-    prepared = docs.select(
-        id_col,
-        text_col,
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
-    )
+    prepared = _with_digest(docs, id_col, text_col)
     return _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
 
 
@@ -538,18 +561,7 @@ def minhash_pairs_from_sigs(
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
-    _release_prior_cache("minhash")
-    sigs = sigs.select(id_col, "signature", "bands").persist()
-    _CACHED["minhash"] = sigs
-    # EAGER materialization: the verify stage reads this frame from two
-    # broadcast-exchange futures that Spark launches CONCURRENTLY with
-    # the band-explode job — on a cold cache all three race and each
-    # recomputes the full Python sketch stage (measured: 4 duplicate
-    # 32-task runs, ~4x the sketch core-seconds, +1.5s wall at sf0.1).
-    # One count() pins the cache first; downstream reads are then cache
-    # hits.  (The production dedup job goes further and checkpoints
-    # sigs to parquet — jobs/run_dedup.py.)
-    sigs.count()
+    sigs = _persist_pinned("minhash", sigs.select(id_col, "signature", "bands"))
     bands = sigs.select(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
@@ -724,26 +736,17 @@ def simhash_near_dup_pairs(
                 }
             )
 
-    _release_prior_cache("simhash")
     # simhash + exact-dup digest in one map-side pass (digest JVM-side,
     # like minhash_signatures); rep selection is the shared
     # collapse_exact_reps aggregation over the ~50 B/doc fingerprint
     # frame — the text column never shuffles
-    prepared = d.select(
-        "doc_id",
-        "text",
-        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
-    )
-    fps = (
+    prepared = _with_digest(d, "doc_id", "text")
+    fps = _persist_pinned(
+        "simhash",
         collapse_exact_reps(
             _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
-        )
-        .filter(F.col("simhash") != 0)  # degenerate: empty/tiny docs
-        .persist()
+        ).filter(F.col("simhash") != 0),  # degenerate: empty/tiny docs
     )
-    _CACHED["simhash"] = fps
-    fps.count()  # eager: same concurrent-broadcast-race rationale as
-    # minhash_pairs_from_sigs — pin the cache before the verify futures
     n_blocks = max_hamming + 1
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     block_cols = []

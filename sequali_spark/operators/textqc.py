@@ -707,6 +707,24 @@ def benchmark_decontaminate(
     )
 
 
+def _corpus_probes(
+    docs: DataFrame, n_probes: int, probe_len: int, min_chars: int
+) -> DataFrame:
+    """The corpus-derived demo probe set (probe_doc, probe): first
+    ``n_probes`` doc prefixes among sufficiently long docs — shared by
+    the broadcast and winnow decontamination queries so both paths see
+    the identical recipe (only the prefix length differs)."""
+    return (
+        docs.filter(F.col("n_chars") >= min_chars)
+        .orderBy("doc_id")
+        .limit(n_probes)
+        .select(
+            F.col("doc_id").alias("probe_doc"),
+            F.substring("text", 1, probe_len).alias("probe"),
+        )
+    )
+
+
 MAX_BROADCAST_PROBES = 100_000
 
 
@@ -740,15 +758,7 @@ def decontamination_hits(
     (limit(N+1).count()) on a table that is small by contract."""
     self_derived = probes is None
     if self_derived:
-        probes = (
-            docs.filter(F.col("n_chars") >= min_chars)
-            .orderBy("doc_id")
-            .limit(n_probes)
-            .select(
-                F.col("doc_id").alias("probe_doc"),
-                F.substring("text", 1, probe_len).alias("probe"),
-            )
-        )
+        probes = _corpus_probes(docs, n_probes, probe_len, min_chars)
     elif probes.limit(max_broadcast_probes + 1).count() > max_broadcast_probes:
         raise ValueError(
             f"probes table exceeds max_broadcast_probes={max_broadcast_probes}: "
@@ -843,14 +853,8 @@ def benchmark_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFram
     the driver's hash gate cross-checks the dual-path identity on
     real data every round."""
     docs = load(spark, sf_dir, "documents")
-    probes = (
-        docs.filter(F.col("n_chars") >= DECON_MIN_CHARS)
-        .orderBy("doc_id")
-        .limit(DECON_N_PROBES)
-        .select(
-            F.col("doc_id").alias("probe_doc"),
-            F.substring("text", 1, DECON_WINNOW_PROBE_LEN).alias("probe"),
-        )
+    probes = _corpus_probes(
+        docs, DECON_N_PROBES, DECON_WINNOW_PROBE_LEN, DECON_MIN_CHARS
     )
     hits = decontamination_hits_winnow(docs, probes).filter(
         F.col("doc_id") != F.col("probe_doc")

@@ -18,7 +18,7 @@ it exists to generate real compressed streams for the round-trip
 property tests, not to compete with libjpeg.
 
 Like the PNG path, the decoded size is bounded BEFORE any allocation
-(a crafted SOF can declare huge dims): MAX_JPEG_DECODED_BYTES.
+(a crafted SOF can declare huge dims): MAX_JPEG_PIXELS.
 """
 
 from __future__ import annotations
@@ -34,7 +34,6 @@ import numpy as np
 # with pixels too.  4M pixels ~ <400MB transient and bounded seconds of
 # decode — the thumbnail/preview envelope this media stage serves.
 MAX_JPEG_PIXELS = 4_000_000
-MAX_JPEG_DECODED_BYTES = MAX_JPEG_PIXELS * 3  # uint8 RGB output bound
 
 # zigzag: index i of the scan order -> (row, col) flat index
 ZIGZAG = np.array([
