@@ -32,17 +32,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # parallelismFirst=false (Spark's own recommendation): coalesce
-        # small shuffles to the 64MB advisory size instead of keeping
-        # defaultParallelism partitions.  With the default, a KB-sized
-        # shuffle (band buckets, verify joins at small SF) fans out to
-        # 32 single-digit-row tasks and every tiny stage pays 32x task
-        # overhead — measured ~40% of dedup_minhash_pairs wall at
-        # sf0.1.  Large shuffles are unaffected (they exceed the
-        # advisory size and keep their partitioning), so this is purely
-        # the small-stage latency fix; explicit repartition() calls
-        # (the Python sketch spread) are never coalesced by AQE.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its DEFAULT (true).  r5 tried false
+        # (Spark docs' small-shuffle advice): interleaved A/B at sf0.1
+        # showed no wall-clock benefit (tiny-stage latency is
+        # scheduler/python-handshake-bound, not partition-count-bound),
+        # and at 2M rows the 64MB-advisory coalescing concentrated
+        # window sorts into few large partitions whose concurrent sorts
+        # exhausted the shared local-mode memory pool
+        # (UNABLE_TO_ACQUIRE_MEMORY in the curation job).  Keep
+        # parallelism-first sizing; on a real cluster executors own
+        # their pools and the advisory knob can be revisited per-job.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
