@@ -490,6 +490,21 @@ def _ring_edges(
             F.ceil(F.col("_n") / F.lit(ring_cap)).cast("long").alias("_n_sub"),
         )
     )
+    # loud guard on the FORCED broadcast (code-review r5): over-cap
+    # buckets are assumed rare, but "assumed" must not become an 8GB
+    # broadcast failure — if the over-cap table itself is huge, the
+    # banding has collapsed (near-everything shares buckets) and the
+    # right fix is upstream (collapse exact dups, raise ring_cap),
+    # not a bigger broadcast.  One bounded extra aggregation per ring
+    # call; the sketch stage dwarfs it.
+    max_overcap = 2_000_000  # ~50 MB broadcast at ~24 B/row
+    if over_cap.limit(max_overcap + 1).count() > max_overcap:
+        raise ValueError(
+            f"more than {max_overcap} band buckets exceed ring_cap="
+            f"{ring_cap}: the banding has degenerated (boilerplate or "
+            "uncollapsed exact duplicates dominate) — collapse exact "
+            "duplicates first or raise ring_cap"
+        )
     counted = exploded.join(F.broadcast(over_cap), key_cols, "left")
     # different literal seed than the ordering hash: salt and order must
     # be independent draws or sub-buckets would be contiguous runs

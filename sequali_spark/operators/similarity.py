@@ -491,10 +491,10 @@ def ivfpq_encode(
     corpus x corpus ``codes JOIN assigned`` shuffle (VERDICT r4,
     What's-wrong #3): at 10^12 vectors that join was an avoidable full
     exchange of two corpus-sized frames.  At scale this frame is the
-    persisted index — write it bucketed/partitioned by ``centroid``
-    (sources.bucketing.write_bucketed) and the per-query probe filter
-    becomes partition pruning at scan time, which is exactly what an
-    inverted *list* is.
+    persisted index — write it with ``write_ivfpq_index`` (parquet
+    PARTITIONED BY centroid) and the per-query probe filter becomes
+    partition pruning at scan time, which is exactly what an inverted
+    *list* is.
 
     ``residual=True`` encodes (x - centroid[assigned]) (see
     pq_train_residual); ``False`` encodes raw vectors with the same
@@ -540,21 +540,36 @@ def write_ivfpq_index(codes: DataFrame, path: str) -> None:
     is the at-scale complement of the in-memory fused frame: encode
     once, write once, then every query is a pruned codes-only scan —
     at 10^12 vectors the index is 16 TB of codes instead of 256 TB of
-    floats, and a probe-8-of-256 query scans ~500 GB of it."""
+    floats, and a probe-8-of-256 query scans ~500 GB of it.
+
+    The encoding's residual flag is PERSISTED beside the data
+    (``<path>_meta``, a one-row parquet) so a reader cannot re-stamp
+    the wrong flag and silently defeat the mismatch guard
+    (code-review r5)."""
+    meta = codes.schema["codes"].metadata or {}
+    if "residual" not in meta:
+        raise ValueError(
+            "write_ivfpq_index expects a frame from ivfpq_encode (the "
+            "codes column carries the residual flag as metadata)"
+        )
     codes.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    codes.sparkSession.createDataFrame(
+        [(bool(meta["residual"]),)], "residual boolean"
+    ).write.mode("overwrite").parquet(path + "_meta")
 
 
-def read_ivfpq_index(spark: SparkSession, path: str, residual: bool = True) -> DataFrame:
+def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
     """Read a written index back into the fused-frame shape
     ivfpq_topk_for expects.  The partition column comes back
     type-inferred (int) — recast to long — and the residual marker is
-    re-stamped from the caller's declaration (parquet round-trips the
-    field metadata only for non-partition readers of the exact schema;
-    the flag is part of the index's identity, like its codebooks)."""
+    restored from the index's own ``<path>_meta`` sidecar (never from
+    a caller's guess: a wrong re-stamp would silently pass the
+    mismatch guard and corrupt scores)."""
+    flag = spark.read.parquet(path + "_meta").first()["residual"]
     df = spark.read.parquet(path).select(
         "vec_id", F.col("centroid").cast("long").alias("centroid"), "codes"
     )
-    return df.withMetadata("codes", {"residual": residual})
+    return df.withMetadata("codes", {"residual": bool(flag)})
 
 
 def pq_topk_for(

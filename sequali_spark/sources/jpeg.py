@@ -31,9 +31,13 @@ import numpy as np
 # bytes: decode holds float64 component planes at MCU-padded resolution
 # plus upsample copies and the float64 RGB stack (~24x the uint8 output
 # transiently), and the per-bit Python Huffman loop makes CPU scale
-# with pixels too.  4M pixels ~ <400MB transient and bounded seconds of
-# decode — the thumbnail/preview envelope this media stage serves.
-MAX_JPEG_PIXELS = 4_000_000
+# with pixels too.  16M pixels (a 12MP phone photo / 4K frame with
+# margin) is ~1 GB transient per decode — tune DOWN when decode
+# concurrency x transient approaches executor memory; a too-large
+# image soft-degrades via decode_payload (and an allocation that
+# slips through is caught as MemoryError there).  Module constant on
+# purpose: the envelope is a deployment decision, not a format one.
+MAX_JPEG_PIXELS = 16_000_000
 
 # zigzag: index i of the scan order -> (row, col) flat index
 ZIGZAG = np.array([

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -52,6 +53,18 @@ try:  # real decoders for compressed formats, if the environment has them
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
+
+# every exception class a corrupt/hostile payload may surface through
+# any decode path — decode_payload's never-fail-the-batch contract
+# catches exactly these.  PIL's DecompressionBombError subclasses
+# Exception directly (not OSError/ValueError), so it must be listed
+# explicitly or a hostile-dims JPEG fails the whole Arrow batch
+# (code-review r5).
+_DECODE_ERRORS: tuple[type[BaseException], ...] = (
+    ValueError, struct.error, OSError, zlib.error, MemoryError,
+)
+if HAVE_PIL:
+    _DECODE_ERRORS = _DECODE_ERRORS + (Image.DecompressionBombError,)
 
 
 # --- codecs (pure struct/numpy, from the public format specs) ---------------
@@ -139,7 +152,6 @@ MAX_PNG_DECODED_BYTES = 64 * 1024 * 1024
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import zlib
 
     return (
         struct.pack(">I", len(data))
@@ -166,7 +178,6 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     for the decoder.  ``filter_type`` applies that one filter (0-4) to
     every scanline so round-trip tests can exercise each unfilter
     branch."""
-    import zlib
 
     h, w, ch = pixels.shape
     color_type = {3: 2, 4: 6}[ch]
@@ -223,7 +234,6 @@ def decode_png(payload: bytes) -> np.ndarray:
     production media path only meets thumbnails here, so the sequential
     branches are bounded; exotic variants (palette, 16-bit, interlace)
     raise ValueError and soft-degrade via decode_payload."""
-    import zlib
 
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
@@ -339,7 +349,6 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
     Mirrors the reference's format sniff + graceful degrade
     (util.py:113-123): a corrupt or unknown payload falls back to the
     opaque histogram rather than raising."""
-    import zlib
 
     try:
         if payload[:2] == b"BM":
@@ -372,11 +381,12 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
             from sequali_spark.sources.jpeg import decode_jpeg_baseline
 
             return "jpeg-baseline", image_features(decode_jpeg_baseline(payload))
-    # OSError covers PIL's UnidentifiedImageError (its subclass) and
+    # _DECODE_ERRORS: OSError covers PIL's UnidentifiedImageError and
     # truncated-file reads; MemoryError covers hostile dims that slip
-    # past a decoder's own bounds — a corrupt payload must NEVER fail
-    # the batch, only degrade this row to the opaque path
-    except (ValueError, struct.error, OSError, zlib.error, MemoryError):
+    # past a decoder's own bounds; DecompressionBombError when PIL is
+    # present — a corrupt payload must NEVER fail the batch, only
+    # degrade this row to the opaque path
+    except _DECODE_ERRORS:
         pass  # corrupt header -> opaque fallback below
     return "opaque", _opaque_features(payload)
 
