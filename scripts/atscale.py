@@ -335,11 +335,90 @@ def run_ann(rows: int) -> dict:
     }
 
 
+def run_ann_disk(rows: int) -> dict:
+    """The on-disk inverted-list leg: write the fused residual index
+    partitioned by centroid, then measure a probe-pruned query THROUGH
+    the written index — scan bytes read vs total index size is the
+    partition-pruning evidence at scale (the plan-level PartitionFilters
+    assertion lives in tests/test_dedup_recall.py)."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators import similarity
+    from sequali_spark.session import get_spark
+
+    n_queries, k, n_centroids, n_probe = 100, 10, 256, 8
+    spark = get_spark(
+        app_name="atscale_ann_disk", extra_conf={"spark.ui.enabled": "true"}
+    )
+    path = f"/tmp/sequali_atscale_emb_{rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _clustered_embeddings(spark, rows).write.mode("overwrite").parquet(path)
+    e = spark.read.parquet(path)
+
+    t0 = time.time()
+    centroids = similarity.kmeans_centroids(e, n_centroids=n_centroids, n_iter=2)
+    books = similarity.pq_train_residual(e, centroids, m=16)
+    fused = similarity.ivfpq_encode(e, centroids, books)
+    idx_path = f"/tmp/sequali_atscale_ivfpq_idx_{rows}"
+    similarity.write_ivfpq_index(fused, idx_path)
+    t_build = time.time() - t0
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(idx_path)
+        for f in fs
+    )
+
+    def _input_bytes_delta(fn):
+        app = spark.sparkContext.applicationId
+        url = f"http://localhost:4040/api/v1/applications/{app}/stages"
+        before = sum(
+            s.get("inputBytes", 0) for s in json.load(urllib.request.urlopen(url))
+        )
+        out = fn()
+        after = sum(
+            s.get("inputBytes", 0) for s in json.load(urllib.request.urlopen(url))
+        )
+        return out, after - before
+
+    back = similarity.read_ivfpq_index(spark, idx_path)
+    # pruning evidence, isolated from the re-rank's embedding scans: a
+    # probed-cells-only scan of the index vs a full scan, bytes read
+    # from the stage metrics
+    probe_cells = list(range(n_probe))  # any n_probe distinct cells
+    _, pruned_bytes = _input_bytes_delta(
+        lambda: back.filter(F.col("centroid").isin(probe_cells)).count()
+    )
+    _, full_bytes = _input_bytes_delta(lambda: back.count())
+    t1 = time.time()
+    rows_out, _ = _input_bytes_delta(
+        lambda: similarity.ivfpq_topk_for(
+            e, n_queries=n_queries, k=k, n_centroids=n_centroids,
+            n_probe=n_probe, rerank_factor=50, centroids=centroids,
+            codebooks=books, codes=back,
+        ).count()
+    )
+    t_query = time.time() - t1
+    spark.stop()
+    return {
+        "rows": rows,
+        "index_bytes_on_disk": idx_bytes,
+        "build_write_wall_sec": round(t_build, 1),
+        "index_scan_bytes_probed_8_of_256": pruned_bytes,
+        "index_scan_bytes_full": full_bytes,
+        "scan_prune_ratio": round(pruned_bytes / max(full_bytes, 1), 4),
+        "query_through_disk_index_wall_sec": round(t_query, 1),
+        "result_rows": rows_out,
+        "n_probe_fraction": round(n_probe / n_centroids, 4),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument(
-        "--mode", choices=["dedup", "curation", "ann", "all"], default="all"
+        "--mode", choices=["dedup", "curation", "ann", "ann-disk", "all"], default="all"
     )
     args = ap.parse_args()
 
@@ -353,6 +432,9 @@ def main() -> None:
     if args.mode == "ann":  # separate corpus; not part of "all"
         results["ann"] = run_ann(args.rows)
         print(json.dumps({"ann": results["ann"]}))
+    if args.mode == "ann-disk":
+        results["ann_disk"] = run_ann_disk(args.rows)
+        print(json.dumps({"ann_disk": results["ann_disk"]}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "ATSCALE.md"), "a") as f:
