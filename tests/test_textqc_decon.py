@@ -66,6 +66,47 @@ def test_winnow_path_emits_probe_column(spark, decon_fixture):
     assert row["probe"].startswith("the quick brown fox")
 
 
+def test_winnow_equivalence_randomized_midscale(spark):
+    """Randomized dual-path equivalence at a less toy scale: 400 docs,
+    80 probes (some planted verbatim at random positions, some absent,
+    some duplicated across docs), winnow == broadcast exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+
+    def sentence(n):
+        return " ".join(rng.choice(words, size=n))
+
+    probes = [f"probe {i:03d} " + sentence(4) for i in range(80)]  # >= 23 chars
+    docs = []
+    for d in range(400):
+        body = sentence(rng.randint(20, 60))
+        # plant 0-2 probes at random word boundaries
+        for p in rng.choice(80, size=rng.randint(0, 3), replace=False):
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + " " + probes[p] + " " + body[cut:]
+        docs.append((d, body, "s", len(body)))
+    docs_df = spark.createDataFrame(
+        docs, schema="doc_id long, text string, source string, n_chars long"
+    )
+    probes_df = spark.createDataFrame(
+        [(900 + i, p) for i, p in enumerate(probes)],
+        schema="probe_doc long, probe string",
+    )
+    broadcast = {
+        (r["doc_id"], r["probe_doc"])
+        for r in decontamination_hits(docs_df, probes=probes_df).collect()
+    }
+    winnow = {
+        (r["doc_id"], r["probe_doc"])
+        for r in decontamination_hits_winnow(docs_df, probes_df).collect()
+    }
+    assert broadcast == winnow
+    assert len(broadcast) > 100  # the fixture actually planted hits
+
+
 def test_winnow_rejects_short_probes(spark, decon_fixture):
     docs, _ = decon_fixture
     short = spark.createDataFrame(
