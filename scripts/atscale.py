@@ -341,7 +341,6 @@ def run_ann_disk(rows: int) -> dict:
     the written index — scan bytes read vs total index size is the
     partition-pruning evidence at scale (the plan-level PartitionFilters
     assertion lives in tests/test_dedup_recall.py)."""
-    import urllib.request
 
     from pyspark.sql import functions as F
 
@@ -366,13 +365,16 @@ def run_ann_disk(rows: int) -> dict:
     t_build = time.time() - t0
     idx_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(idx_path)
+        for root_dir in (idx_path, idx_path + "_meta")  # incl. flag sidecar
+        for dp, _, fs in os.walk(root_dir)
         for f in fs
     )
 
     def _input_bytes_delta(fn):
+        # uiWebUrl, NOT a hardcoded :4040 — another JVM holding the
+        # port bumps this app to 4041 (same discipline as _shuffle_bytes)
         app = spark.sparkContext.applicationId
-        url = f"http://localhost:4040/api/v1/applications/{app}/stages"
+        url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
         before = sum(
             s.get("inputBytes", 0) for s in json.load(urllib.request.urlopen(url))
         )

@@ -124,30 +124,29 @@ def test_decode_payload_routes_jpeg_and_degrades(monkeypatch):
     assert codec2 == "opaque"
 
 
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
-    from hypothesis.extra.numpy import arrays
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
 
-    @settings(max_examples=25, deadline=None)
-    @given(
-        arrays(
-            np.uint8,
-            st.tuples(
-                st.integers(1, 24), st.integers(1, 24), st.just(3)
-            ),
-        )
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
     )
-    def test_any_rgb_array_round_trips_shape_exact(img):
-        """Property: every uint8 HxWx3 array survives encode->decode
-        with exact shape and bounded worst-case error (lossy codec:
-        value closeness is only asserted as 'not absurd' — white-noise
-        blocks legitimately quantize hard)."""
-        out = decode_jpeg_baseline(encode_jpeg_baseline(img))
-        assert out.shape == img.shape
-        assert out.dtype == np.uint8
-except ImportError:  # hypothesis is baked in; belt-and-suspenders only
-    pass
+)
+def test_any_rgb_array_round_trips_shape_exact(img):
+    """Property: every uint8 HxWx3 array survives encode->decode with
+    exact shape/dtype AND a coarse value check — the global mean must
+    survive within DC-quantization tolerance (white-noise pixels
+    legitimately quantize hard per-pixel, but JPEG preserves block DCs
+    to within the quant step, so a garbage/all-zeros decode cannot
+    pass)."""
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+    assert abs(float(out.mean()) - float(img.mean())) < 24
 
 
 def test_random_corruption_never_escapes_decode_payload():
