@@ -26,6 +26,52 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+LOAD_GATE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600"))
+
+
+def _cpu_busy_frac(window: float = 0.2) -> float:
+    """Fraction of host CPU busy over a short window, from /proc/stat.
+
+    Used BETWEEN timed samples (when our own JVM is idle) as an
+    external-noise probe: unlike loadavg, it has no memory of our own
+    just-finished burst, so it distinguishes 'the hypervisor neighbor is
+    busy right now' from 'we ourselves were busy a minute ago'."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(window)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return round(1.0 - (i1 - i0) / dt, 3) if dt else 0.0
+
+
+def wait_for_quiet(threshold: float = LOAD_GATE, budget: float = LOAD_GATE_BUDGET_SEC) -> dict:
+    """Block (bounded) until the host 1-minute loadavg is below
+    `threshold`.  Called BEFORE the Spark session starts, while our own
+    contribution to loadavg is zero — mid-run the 1m loadavg mostly
+    measures our own just-finished stages, so gating there would be
+    self-defeating.  Returns a trace of every attempt for the artifact
+    (VERDICT r5 Next-round #1: the harness must avoid noise, not just
+    explain it)."""
+    t0 = time.time()
+    attempts = []
+    while True:
+        load = os.getloadavg()[0]
+        attempts.append({"t_sec": round(time.time() - t0, 1), "load_1m": round(load, 2)})
+        if load < threshold:
+            return {"gated": True, "threshold": threshold, "attempts": attempts}
+        if time.time() - t0 > budget:
+            return {"gated": False, "threshold": threshold, "attempts": attempts}
+        time.sleep(10.0)
+
+
 HEADLINE = [
     "pages_quality_labels",
     "doc_char_ratios",
@@ -151,6 +197,11 @@ def pipeline_throughput(cpus: int, n_rows: int) -> dict:
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
 
+    # Load gate BEFORE the session exists (our own loadavg share is 0
+    # here).  If the budget expires while the host is still loaded, the
+    # run proceeds but the artifact says so.
+    gate = wait_for_quiet()
+
     spark = _spark(cpus)
     queries = entry_mod.queries()
 
@@ -174,16 +225,22 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     # true capability — same discipline as the throughput legs)
     per_query: dict[str, float] = {}
     query_samples: dict[str, list[float]] = {}
+    sample_busy: dict[str, list[float]] = {}
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
-        for _ in range(2):
+        busy = []
+        for _ in range(3):
+            # instantaneous external-load probe: the JVM is idle between
+            # samples, so host busy-frac here ≈ hypervisor-neighbor noise
+            busy.append(_cpu_busy_frac())
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         per_query[name] = round(min(samples), 3)
         query_samples[name] = [round(s, 3) for s in samples]
+        sample_busy[name] = busy
 
     # pipeline throughput on the same session's core count
     from sequali_spark.pipeline import quality_pipeline
@@ -196,13 +253,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     kept_agg = out.agg(F.sum(F.col("keep").cast("long")))
     kept_agg.first()  # warmup
     pipe_samples = []
-    for _ in range(2):
+    pipe_busy = []
+    for _ in range(3):
+        pipe_busy.append(_cpu_busy_frac())
         t0 = time.time()
         kept_agg.first()
         pipe_samples.append(time.time() - t0)
     pipe_sec = min(pipe_samples)
     per_query["pipeline_64k_pages"] = round(pipe_sec, 3)
     query_samples["pipeline_64k_pages"] = [round(s, 3) for s in pipe_samples]
+    sample_busy["pipeline_64k_pages"] = pipe_busy
     pages.unpersist()
     spark.stop()
 
@@ -222,6 +282,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         # artifact itself.  This box idles at double-digit load (shared
         # hypervisor); spread samples + high load => discount the total.
         "query_samples": query_samples,
+        # per-sample pre-run host busy fraction (external-noise probe —
+        # see _cpu_busy_frac; loadavg mid-run measures OUR OWN burst)
+        "sample_pre_busy_frac": sample_busy,
+        # start-of-run load gate trace (wait_for_quiet)
+        "load_gate": gate,
         "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
     }
 

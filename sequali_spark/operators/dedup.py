@@ -84,7 +84,10 @@ def _persist_pinned(key: str, df: DataFrame) -> DataFrame:
     _release_prior_cache(key)
     df = df.persist()
     _CACHED[key] = df
-    df.count()
+    # materialize via a noop sink, not count(): count() plans a partial
+    # + final aggregation (an extra exchange and AQE query stage); the
+    # noop write computes and caches every partition in ONE stage
+    df.write.format("noop").mode("overwrite").save()
     return df
 
 
@@ -339,7 +342,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
             )
 
     prepared = _with_digest(docs, id_col, text_col)
-    return _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
+    # cap=16: the spread only engages when the scan under-decomposes
+    # (splits < cores), i.e. on small-byte inputs where per-task Arrow
+    # handshake dominates the batched kernel (~6k docs/s/core) — 16
+    # tasks is ample for any input small enough to trigger the spread,
+    # and at production scale row-group splits exceed cores so neither
+    # the spread nor the cap ever applies
+    return _spread_for_python(prepared, cap=16).mapInPandas(_batches, schema=schema)
 
 
 def collapse_exact_reps(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -587,45 +596,58 @@ def minhash_pairs_from_sigs(
             ring_cap=ring_cap, successors=ring_successors,
         )
         return _verify_candidates(cand, sigs, id_col, threshold)
-    overflow_pairs = None
+    # ONE exchange for the whole candidate stage: buckets are gathered
+    # by groupBy(collect_list) and pairs are expanded by higher-order
+    # functions inside whole-stage codegen.  This replaces the previous
+    # window-rank + anchor-broadcast-join + bucket self-join plan (four
+    # AQE query stages sharing the exchange) with a single aggregation
+    # — identical candidate set (same salted ordering, same star-cap
+    # semantics; pinned by tests/test_dedup_recall.py equivalence), and
+    # the ids-only discipline is preserved because only (hash, id)
+    # structs ever ride the exchange.  Candidate volume per bucket is
+    # unchanged: min(B, cap)^2/2 head pairs + (B - cap) star edges.
+    # Skew note: a hot bucket still lands on one task — exactly as the
+    # window-rank plan did (same partitioning key) — and its in-memory
+    # footprint is ~16 B/member; the linear-volume scale surface for
+    # degenerate buckets remains edge_mode="ring" (salted sub-buckets).
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    # salt the ordering hash with the band hash so an
+                    # over-cap cluster samples a DIFFERENT head (and
+                    # anchor) in each of its band buckets
+                    F.xxhash64(F.col(id_col), F.col("band_hash")).alias("h"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    # array_sort on struct<h,id> orders by (h, id) — the exact rank_w
+    # ordering of the previous window plan
+    b = buckets.select(F.expr("transform(array_sort(members), s -> s.id)").alias("ids"))
+    head = f"slice(ids, 1, {int(max_bucket)})" if max_bucket else "ids"
+    cap_len = int(max_bucket) if max_bucket else 0
+    # head all-pairs: for the j-th head member (0-based lambda index),
+    # partners are head members j+2.. (1-based slice start)
+    pairs_head = (
+        f"flatten(transform({head}, (x, i) -> "
+        f"transform(slice({head}, i + 2, size({head})), y -> "
+        f"struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+    )
     if max_bucket:
-        # one shuffle on the bucket key; the self-join below reuses it.
-        # ordering salts the id hash with the band hash so an over-cap
-        # cluster samples a DIFFERENT head in each of its band buckets
-        bucket_w = W.partitionBy("band_idx", "band_hash")
-        rank_w = bucket_w.orderBy(
-            F.xxhash64(F.col(id_col), F.col("band_hash")), F.col(id_col)
-        )
-        ranked = bands.withColumn("_rn", F.row_number().over(rank_w))
-        anchors = ranked.filter(F.col("_rn") == 1).select(
-            "band_idx", "band_hash", F.col(id_col).alias("_anchor")
-        )
         # star-cap: members past the cap connect to the bucket anchor
         # (O(B) rows) instead of all-pairs (O(B^2)) or silent drop
-        overflow_pairs = (
-            ranked.filter(F.col("_rn") > max_bucket)
-            .join(anchors, ["band_idx", "band_hash"])
-            .select(
-                F.least(F.col(id_col), F.col("_anchor")).alias("doc_a"),
-                F.greatest(F.col(id_col), F.col("_anchor")).alias("doc_b"),
-            )
+        star = (
+            f"transform(slice(ids, {cap_len} + 1, greatest(size(ids) - {cap_len}, 0)), "
+            f"x -> struct(least(ids[0], x) as doc_a, greatest(ids[0], x) as doc_b))"
         )
-        bands = ranked.filter(F.col("_rn") <= max_bucket).drop("_rn")
-    left = bands.alias("l")
-    right = bands.alias("r")
-    # candidate ids only — signatures (64×8B arrays) would multiply the
-    # self-join shuffle ~20×; they are re-attached per UNIQUE pair below
-    cand = left.join(
-        right,
-        (F.col("l.band_idx") == F.col("r.band_idx"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("doc_a"),
-        F.col(f"r.{id_col}").alias("doc_b"),
-    )
-    if overflow_pairs is not None:
-        cand = cand.unionByName(overflow_pairs)
+        expanded = f"concat({pairs_head}, {star})"
+    else:
+        expanded = pairs_head
+    cand = b.select(F.explode(F.expr(expanded)).alias("p")).select("p.doc_a", "p.doc_b")
     return _verify_candidates(cand, sigs, id_col, threshold)
 
 
