@@ -389,10 +389,34 @@ def run_ann_disk(rows: int) -> dict:
     # probed-cells-only scan of the index vs a full scan, bytes read
     # from the stage metrics
     probe_cells = list(range(n_probe))  # any n_probe distinct cells
-    _, pruned_bytes = _input_bytes_delta(
-        lambda: back.filter(F.col("centroid").isin(probe_cells)).count()
+    # Pruning evidence is FILE-LEVEL, not the stage inputBytes counter:
+    # with the one-file-per-cell v2 layout the Hadoop read-statistics
+    # counter under-reports (427 KB reported for a full scan whose
+    # codes column alone is 16 MB), and a parquet count() is satisfied
+    # from footers alone.  Partition pruning's contract is exactly
+    # "the scan lists only the probed centroid= directories" (plan
+    # PartitionFilters assertion: tests/test_dedup_recall.py), so the
+    # bytes a probed query can read IS the size of those directories.
+    def _dir_bytes(cells=None):
+        total = 0
+        for dp, _, fs in os.walk(idx_path):
+            cell = os.path.basename(dp)
+            if cells is not None and not any(
+                cell == f"centroid={c}" for c in cells
+            ):
+                continue
+            total += sum(os.path.getsize(os.path.join(dp, f)) for f in fs)
+        return total
+
+    pruned_bytes = _dir_bytes(probe_cells)
+    full_bytes = _dir_bytes()
+    # cross-check the counter-based delta is <= the file-level bound
+    _, pruned_read = _input_bytes_delta(
+        lambda: back.filter(F.col("centroid").isin(probe_cells))
+        .agg(F.sum(F.length("codes")))
+        .first()
     )
-    _, full_bytes = _input_bytes_delta(lambda: back.count())
+    assert pruned_read <= pruned_bytes + 1_000_000, (pruned_read, pruned_bytes)
     t1 = time.time()
     rows_out, _ = _input_bytes_delta(
         lambda: similarity.ivfpq_topk_for(

@@ -456,28 +456,55 @@ def pq_train_residual(
     return _train_subspace_codebooks(x - centroids[cid], m, k, n_iter)
 
 
+def _pack_codes(codes: np.ndarray) -> list[bytes]:
+    """(n, M) uint8 matrix -> n fixed-width M-byte values.  The codes
+    column is stored as BINARY, not array<long>: a parquet array of M
+    longs costs ~8 bytes per 1-byte code plus repetition levels
+    (measured 37.4 B/vector on the 1M index at M=16), while the packed
+    form is exactly M bytes + column overhead (~16 TB instead of ~37 TB
+    of index at 10^12 vectors, and the per-query probed scan shrinks by
+    the same factor).  Reference precedent for bit-packing discipline:
+    the 2-bit k-mer encode (/root/reference/src/sequali/_qcmodule.c:
+    3605-3696)."""
+    return [bytes(row) for row in codes]
+
+
+def _codes_matrix(col: pd.Series, m: int) -> np.ndarray:
+    """(n, m) uint8 matrix from the fixed-width binary codes column."""
+    buf = b"".join(col)
+    if len(buf) != m * len(col):
+        raise ValueError(
+            f"codes column is not fixed-width {m}-byte binary "
+            f"({len(buf)} bytes for {len(col)} rows)"
+        )
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, m)
+
+
 def pq_encode(e: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """(vec_id, codes array<int>) — M uint8 codes per vector, one Arrow
-    stage; the corpus representation every downstream ADC scan reads."""
+    """(vec_id, codes binary) — M uint8 codes packed into one M-byte
+    value per vector (see _pack_codes), one Arrow stage; the corpus
+    representation every downstream ADC scan reads."""
     m, k, sub_dim = codebooks.shape
+    if k > 256:
+        raise ValueError(f"codebook k={k} does not fit uint8 codes")
 
     def _encode(it):
         for pdf in it:
             if not len(pdf):
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            codes = np.empty((len(x), m), dtype=np.int64)
+            codes = np.empty((len(x), m), dtype=np.uint8)
             for s in range(m):
                 xs = x[:, s * sub_dim : (s + 1) * sub_dim]
                 c = codebooks[s]
                 d2 = (xs * xs).sum(1)[:, None] - 2 * xs @ c.T + (c * c).sum(1)[None, :]
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": _pack_codes(codes)}
             )
 
     return e.select("vec_id", "embedding").mapInPandas(
-        _encode, schema="vec_id long, codes array<long>"
+        _encode, schema="vec_id long, codes binary"
     )
 
 
@@ -498,8 +525,11 @@ def ivfpq_encode(
 
     ``residual=True`` encodes (x - centroid[assigned]) (see
     pq_train_residual); ``False`` encodes raw vectors with the same
-    fused plan."""
+    fused plan.  Codes are packed fixed-width binary (_pack_codes):
+    M bytes per vector on disk instead of an M-long array."""
     m, k, sub_dim = codebooks.shape
+    if k > 256:
+        raise ValueError(f"codebook k={k} does not fit uint8 codes")
 
     def _enc(it):
         for pdf in it:
@@ -508,7 +538,7 @@ def ivfpq_encode(
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
             cid = (x @ centroids.T).argmax(axis=1).astype(np.int64)
             xr = x - centroids[cid] if residual else x
-            codes = np.empty((len(x), m), dtype=np.int64)
+            codes = np.empty((len(x), m), dtype=np.uint8)
             for s in range(m):
                 xs = xr[:, s * sub_dim : (s + 1) * sub_dim]
                 c = codebooks[s]
@@ -518,12 +548,12 @@ def ivfpq_encode(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid": cid,
-                    "codes": list(codes),
+                    "codes": _pack_codes(codes),
                 }
             )
 
     return e.select("vec_id", "embedding").mapInPandas(
-        _enc, schema="vec_id long, centroid long, codes array<long>"
+        _enc, schema="vec_id long, centroid long, codes binary"
     ).withMetadata("codes", {"residual": residual})
     # ^ schema-level marker (zero runtime cost, survives parquet): lets
     # ivfpq_topk_for detect a codes frame encoded with the OPPOSITE
@@ -531,7 +561,7 @@ def ivfpq_encode(
     # coarse term (code-review r5)
 
 
-def write_ivfpq_index(codes: DataFrame, path: str) -> None:
+def write_ivfpq_index(codes: DataFrame, path: str, files_per_cell: int = 1) -> None:
     """Persist the fused index PARTITIONED BY centroid — the on-disk
     inverted LIST: each coarse cell is its own directory, so a probe
     filter (``centroid IN probes``) becomes partition pruning at scan
@@ -552,7 +582,31 @@ def write_ivfpq_index(codes: DataFrame, path: str) -> None:
             "write_ivfpq_index expects a frame from ivfpq_encode (the "
             "codes column carries the residual flag as metadata)"
         )
-    codes.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    # Layout discipline (measured at 1M vectors, BENCH/ATSCALE.md):
+    # - repartition so each coarse cell lands in ``files_per_cell``
+    #   files instead of one-per-writing-task (256 cells x 32 tasks =
+    #   8k small files whose footers were ~20% of the index bytes);
+    # - sort by vec_id within the cell so the id column delta-packs;
+    # - parquet v2 encodings: DELTA_LENGTH_BYTE_ARRAY stores the codes'
+    #   constant 16-byte length once per page instead of a 4-byte
+    #   prefix per value, DELTA_BINARY_PACKED shrinks the sorted ids.
+    # Together: 37.4 -> ~17 B/vector on disk at M=16.
+    # ``files_per_cell`` > 1 is the giant-cell knob: at 10^12 vectors a
+    # cell holds ~4B rows (~60 GB of codes), more than one writing task
+    # should carry — salt the shuffle key to split each cell into
+    # bounded-size files (readers see the same directory either way).
+    if files_per_cell > 1:
+        salt = F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+        parted = codes.repartition(F.col("centroid"), salt)
+    else:
+        parted = codes.repartition("centroid")
+    (
+        parted.sortWithinPartitions("centroid", "vec_id")
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
     codes.sparkSession.createDataFrame(
         [(bool(meta["residual"]),)], "residual boolean"
     ).write.mode("overwrite").parquet(path + "_meta")
@@ -611,7 +665,7 @@ def pq_topk_for(
             if not len(pdf):
                 continue
             vec_ids = pdf["vec_id"].to_numpy()
-            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            c = _codes_matrix(pdf["codes"], m)  # (n, m) uint8
             # scores[qi, n] = sum_s lut[qi, s, c[n, s]] — one (Q, n)
             # gather per subspace (m=8 vectorized passes)
             scores = np.zeros((len(q_ids), len(c)), dtype=np.float64)
@@ -714,7 +768,18 @@ def ivfpq_topk_for(
         )
     else:
         meta = codes.schema["codes"].metadata or {}
-        if "residual" in meta and bool(meta["residual"]) != residual:
+        if "residual" not in meta:
+            # every legitimate producer (ivfpq_encode, read_ivfpq_index)
+            # stamps the marker — a fused frame without it (e.g. a raw
+            # spark.read.parquet of the index directory) cannot prove
+            # which encoding it carries, and a wrong guess silently
+            # double-counts or drops the coarse term (ADVICE r5)
+            raise ValueError(
+                "codes frame carries no residual marker: read the index "
+                "via read_ivfpq_index (or pass the frame returned by "
+                "ivfpq_encode), not a bare parquet read"
+            )
+        if bool(meta["residual"]) != residual:
             raise ValueError(
                 f"codes frame was encoded with residual={bool(meta['residual'])} "
                 f"but ivfpq_topk_for was called with residual={residual}: the "
@@ -756,7 +821,7 @@ def ivfpq_topk_for(
         for pdf in it:
             if not len(pdf):
                 continue
-            c = np.array(list(pdf["codes"]), dtype=np.int64)
+            c = _codes_matrix(pdf["codes"], m)
             qi = np.array([qpos[int(x)] for x in pdf["query_id"]], dtype=np.int64)
             scores = qc[qi, pdf["centroid"].to_numpy()]
             for s in range(m):

@@ -661,7 +661,10 @@ def test_residual_ivfpq_scores_match_numpy_oracle(spark, clustered_embeddings):
         rerank_factor=rerank_factor, centroids=cents, codebooks=books,
         codes=fused,
     ).collect()
-    codes = {r["vec_id"]: np.array(r["codes"]) for r in fused.collect()}
+    codes = {
+        r["vec_id"]: np.frombuffer(bytes(r["codes"]), dtype=np.uint8)
+        for r in fused.collect()
+    }
     cid = {r["vec_id"]: r["centroid"] for r in fused.collect()}
     fused.unpersist()
     vecs = {
