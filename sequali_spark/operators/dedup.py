@@ -575,7 +575,13 @@ def minhash_pairs_from_sigs(
       shapes (spokes over threshold vs a hub only) can fragment on a
       failed chain edge — raise ``ring_successors`` for k extra draws
       per band (volume k * bands * N, still linear) when clusters are
-      known to be non-clique.  Pair-level completeness is deliberately
+      known to be non-clique.  MEASURED on a planted 100k-row
+      hub-and-spoke corpus (atscale.py --mode ring-recall, r6:
+      spoke-hub Jaccard ~0.78 over the 0.7 threshold, spoke-spoke
+      ~0.63 under it): spoke-to-hub component recall is 0.9576 at k=1,
+      0.9767 at k=2, 0.9784 at k=4 vs 0.9784 for pair-complete — k=2
+      closes all but 0.2pp of the ceiling, which is why keeper
+      election defaults to it (keepers_from_labeled_sigs).  Pair-level completeness is deliberately
       given up — this is the CLUSTERING surface (dedup_keepers /
       connected components), the shape production dedup runs at 100 TB.
       ``max_bucket`` applies to "pairs" mode only; ring's skew guard is
@@ -1064,8 +1070,13 @@ def keepers_from_labeled_sigs(
     corpus.  See dedup_keepers for semantics."""
     rep_map = labeled.select("doc_id", "rep")
     rep_sigs = labeled.filter(F.col("doc_id") == F.col("rep"))
+    # ring_successors=2 from measurement, not assumption: on the
+    # planted 100k hub-and-spoke corpus (the non-clique shape where
+    # k=1 chains fragment on failed verifies) k=2 recovers 0.9767
+    # spoke recall vs 0.9784 for pair-complete at 2x (still linear)
+    # edge volume; k=1 leaves a 2.1pp gap (BENCH/ATSCALE.md r6)
     pairs = minhash_pairs_from_sigs(
-        rep_sigs, threshold=threshold, edge_mode="ring"
+        rep_sigs, threshold=threshold, edge_mode="ring", ring_successors=2
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, stats=cc_stats).select(
         F.col("doc_id").alias("rep_id"), "component"
