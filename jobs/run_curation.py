@@ -44,6 +44,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _decon_hits(docs: DataFrame, probes: DataFrame | None, path: str) -> DataFrame:
+    """Route decontamination by probe-set size (VERDICT r5 Next-round
+    #5: the broadcast guard's raise used to just point users at the
+    winnow path; now the job routes there itself).
+
+    - ``broadcast``: contains() theta-join — right for benchmark-scale
+      probe sets (KB-MB); raises past MAX_BROADCAST_PROBES.
+    - ``winnow``: winnowed-fingerprint equi-join — the same contract
+      for arbitrarily large probe tables (requires every probe >=
+      w+k-1 = 23 chars, the shared-fingerprint guarantee threshold).
+    - ``auto`` (default): broadcast until the probe table exceeds the
+      broadcast guard, winnow beyond it — ONE bounded limit+count job
+      decides.
+
+    Both paths produce IDENTICAL hits for guarantee-length probes
+    (equivalence pinned by tests/test_textqc_decon.py), which is why
+    the resume manifest does not fingerprint the route: the decision
+    table is path-independent."""
+    from sequali_spark.operators import textqc
+
+    if probes is None or path == "broadcast":
+        return textqc.decontamination_hits(docs, probes=probes)
+    if path == "winnow":
+        return textqc.decontamination_hits_winnow(docs, probes)
+    if path != "auto":
+        raise ValueError(f"unknown decon path {path!r}")
+    cap = textqc.MAX_BROADCAST_PROBES
+    if probes.limit(cap + 1).count() > cap:
+        return textqc.decontamination_hits_winnow(docs, probes)
+    return textqc.decontamination_hits(docs, probes=probes)
+
+
 def curate(
     spark: SparkSession,
     sf_dir: str,
@@ -51,6 +83,7 @@ def curate(
     min_gates: int = 4,
     probes: DataFrame | None = None,
     docs: DataFrame | None = None,
+    decon_path: str = "auto",
 ) -> DataFrame:
     """documents + per-doc drop decision: (doc_id, source, n_chars,
     keep, drop_reason).  All three passes (gate battery, dedup sketch,
@@ -80,7 +113,7 @@ def curate(
         "doc_id", "gates_passed"
     )
     contaminated = (
-        textqc.decontamination_hits(docs, probes=probes)
+        _decon_hits(docs, probes, decon_path)
         .select("doc_id")
         .distinct()
         .withColumn("_is_contaminated", F.lit(True))
@@ -187,6 +220,12 @@ def main() -> None:
         "--force", action="store_true",
         help="recompute the decision table even if a checkpointed one exists",
     )
+    ap.add_argument(
+        "--decon-path", choices=["auto", "broadcast", "winnow"], default="auto",
+        help="decontamination plan: broadcast contains() theta-join, winnowed-"
+        "fingerprint equi-join, or auto (winnow once the probe table exceeds "
+        "the broadcast guard); both produce identical decisions",
+    )
     args = ap.parse_args()
 
     from sequali_spark.operators import textqc
@@ -232,6 +271,7 @@ def main() -> None:
             min_gates=args.min_gates,
             probes=probes,
             docs=docs,
+            decon_path=args.decon_path,
         ).write.mode("overwrite").parquet(dec_path)
         write_stage_manifest(spark, man_path, manifest_rows, MANIFEST_SCHEMA)
     decisions = spark.read.parquet(dec_path).persist()

@@ -821,12 +821,22 @@ def decontamination_hits_winnow(
     doc_posts = winnow_postings(docs)
     probe_posts = winnow_postings(probes, id_col="probe_doc", text_col="probe")
     if max_postings is not None:
-        pw = W.partitionBy("fp")
-        doc_posts = (
-            doc_posts.withColumn("_n", F.count("*").over(pw))
-            .filter(F.col("_n") <= max_postings)
-            .drop("_n")
+        # hot-fingerprint sizes via groupBy (map-side partial agg: one
+        # row per fingerprint ever shuffles) + a broadcast ANTI-join —
+        # NOT a count-over-window, which would shuffle and materialize
+        # each fingerprint's full posting list on a single task: the
+        # exact hot-key concentration this parameter exists to mitigate
+        # (ADVICE r5; same pattern as _ring_edges' over_cap guard).
+        # The broadcast side holds only fingerprints ABOVE the cap —
+        # tiny by the same argument: ubiquitous-boilerplate keys are
+        # the pathology, not the population.
+        hot = (
+            doc_posts.groupBy("fp")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_postings)
+            .select("fp")
         )
+        doc_posts = doc_posts.join(F.broadcast(hot), "fp", "left_anti")
     cand = doc_posts.join(probe_posts, "fp").select("doc_id", "probe_doc").distinct()
     # exact verify per unique candidate pair: contains() with the text
     # re-attached — candidates are rare, so the wide text column is

@@ -543,3 +543,87 @@ def test_report_mode_rerenders_without_recompute(spark, tmp_path):
     assert rep["counters"]["docs_seen"] == 200
     assert set(rep) == {"counters", "rule_hits", "lang_hist", "duplication"}
     assert sum(rep["lang_hist"].values()) == 200
+
+
+def test_curation_cli_winnow_decon_path_matches_broadcast(spark, tmp_path):
+    """--decon-path winnow routes contamination through the
+    winnowed-fingerprint equi-join at the JOB level and produces the
+    identical decision table as the broadcast run (probes are over the
+    w+k-1 guarantee length, where the two plans are exactly
+    equivalent)."""
+    import pandas as pd
+
+    marker = "qzj winnowable benchmark probe string qzj"  # 41 chars >= 23
+    rows = [
+        (0, "plenty of plain english words about storage engines " * 6, "s1"),
+        (1, "another long document on compilers and parsing " * 6 + marker, "s1"),
+        (2, "a third long document about networks and routing " * 6, "s2"),
+        (3, "a fourth long document mentioning " + marker + " mid-text " * 20, "s2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    probes_path = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(7, marker)], schema="probe_doc long, probe string"
+    ).write.parquet(probes_path)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    stats = {}
+    for path_mode in ("broadcast", "winnow"):
+        out = str(tmp_path / f"curated_{path_mode}")
+        stats_path = str(tmp_path / f"stats_{path_mode}.json")
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_curation.py",
+                "--input", str(d), "--output", out, "--stats", stats_path,
+                "--probes", probes_path, "--decon-path", path_mode,
+                # decision checkpoints are per-OUTPUT path, but be
+                # explicit that each run computes its own table
+                "--force",
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        stats[path_mode] = json.load(open(stats_path))
+        stats[path_mode].pop("resumed_from_checkpoint")
+    assert stats["broadcast"] == stats["winnow"]
+    assert stats["winnow"]["dropped"].get("contaminated") == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "curated_winnow")).collect()}
+    assert kept == {0, 2}
+
+
+def test_curation_auto_decon_switches_past_broadcast_guard(spark, monkeypatch):
+    """decon_path='auto' picks the broadcast theta-join for small probe
+    sets and the winnow equi-join once the table exceeds the broadcast
+    guard — asserted by recording which operator the router invoked
+    (guard shrunk via monkeypatch; both operators share the hits
+    contract so the routing is the only difference)."""
+    from jobs.run_curation import _decon_hits
+    from sequali_spark.operators import textqc
+
+    docs = spark.createDataFrame(
+        [(0, "some long enough document text for winnowing to chew on")],
+        schema="doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(i, f"probe string number {i} padded to guarantee length....") for i in range(4)],
+        schema="probe_doc long, probe string",
+    )
+    calls = []
+    real_bc, real_wn = textqc.decontamination_hits, textqc.decontamination_hits_winnow
+    monkeypatch.setattr(
+        textqc, "decontamination_hits",
+        lambda *a, **k: calls.append("broadcast") or real_bc(*a, **k),
+    )
+    monkeypatch.setattr(
+        textqc, "decontamination_hits_winnow",
+        lambda *a, **k: calls.append("winnow") or real_wn(*a, **k),
+    )
+    monkeypatch.setattr(textqc, "MAX_BROADCAST_PROBES", 10)
+    _decon_hits(docs, probes, "auto")
+    assert calls == ["broadcast"]
+    monkeypatch.setattr(textqc, "MAX_BROADCAST_PROBES", 3)
+    _decon_hits(docs, probes, "auto")
+    assert calls == ["broadcast", "winnow"]

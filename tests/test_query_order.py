@@ -1,5 +1,12 @@
 """Pin the driver-judged 50-query prefix of ``queries()``.
 
+Round-6 single-slot rotation (VERDICT r5 task 6): slot 2 swaps
+doc_length_histogram (green r1-r5; family siblings stay oracle-backed,
+doc_length_percentiles stays in-window) for doc_decontaminate_winnow —
+the only r5 oracle with no driver row.  The other 49 slots are
+byte-identical to the r4/r5 window, so CORRECTNESS_r06 diffs against
+r05 in exactly one key.
+
 The driver checks exactly the FIRST 50 entries.  CORRECTNESS_r01-r03
 judged the pre-rotation prefix; the prefix pinned here (rotated in
 round 4) is first judged in CORRECTNESS_r04 — diffing r4 against
@@ -23,7 +30,7 @@ DRIVER_WINDOW = 50
 # redundant siblings moved out to overflow.
 EXPECTED_PREFIX = [
     "doc_char_ratios",
-    "doc_length_histogram",
+    "doc_decontaminate_winnow",
     "doc_per_source_quality",
     "doc_substring_scan",
     "doc_quality_score",
@@ -88,9 +95,9 @@ EXPECTED_OVERFLOW = {
     "doc_stratified_sample",
     "events_type_totals",
     "rel_order_priority",
-    # r5 addition (window frozen): the winnow-path decontamination twin,
-    # oracle-backed via the contains() equivalence
-    "doc_decontaminate_winnow",
+    # r6 single-slot rotation: doc_length_histogram (green r1-r5) out,
+    # doc_decontaminate_winnow (the only oracle with no driver row) in
+    "doc_length_histogram",
 }
 
 
