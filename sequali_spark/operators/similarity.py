@@ -561,7 +561,13 @@ def ivfpq_encode(
     # coarse term (code-review r5)
 
 
-def write_ivfpq_index(codes: DataFrame, path: str, files_per_cell: int = 1) -> None:
+def write_ivfpq_index(
+    codes: DataFrame,
+    path: str,
+    files_per_cell: int = 1,
+    quantizers: tuple[np.ndarray, np.ndarray] | None = None,
+    baseline_top1_sim: float | None = None,
+) -> None:
     """Persist the fused index PARTITIONED BY centroid — the on-disk
     inverted LIST: each coarse cell is its own directory, so a probe
     filter (``centroid IN probes``) becomes partition pruning at scan
@@ -607,9 +613,187 @@ def write_ivfpq_index(codes: DataFrame, path: str, files_per_cell: int = 1) -> N
         .partitionBy("centroid")
         .parquet(path)
     )
-    codes.sparkSession.createDataFrame(
-        [(bool(meta["residual"]),)], "residual boolean"
-    ).write.mode("overwrite").parquet(path + "_meta")
+    _write_ivfpq_meta(
+        codes.sparkSession,
+        path,
+        residual=bool(meta["residual"]),
+        quantizers=quantizers,
+        baseline_top1_sim=baseline_top1_sim,
+    )
+
+
+_IVFPQ_META_SCHEMA = (
+    "residual boolean, centroids binary, centroids_shape array<int>, "
+    "codebooks binary, codebooks_shape array<int>, baseline_top1_sim double, "
+    "appended_batches int"
+)
+
+
+def _write_ivfpq_meta(
+    spark: SparkSession,
+    path: str,
+    residual: bool,
+    quantizers: tuple[np.ndarray, np.ndarray] | None,
+    baseline_top1_sim: float | None,
+    appended_batches: int = 0,
+) -> None:
+    """One-row sidecar beside the index.  With ``quantizers``
+    (centroids, codebooks) the index is SELF-CONTAINED: append jobs
+    re-derive the exact encoder from the sidecar instead of trusting a
+    caller to pass the same numpy arrays (a mismatched codebook would
+    silently corrupt every appended cell).  ``baseline_top1_sim`` is
+    the coarse-quantizer health statistic the drift trigger compares
+    against (see append_ivfpq_index)."""
+    if quantizers is not None:
+        cents, books = quantizers
+        row = (
+            residual,
+            np.ascontiguousarray(cents, dtype=np.float64).tobytes(),
+            list(cents.shape),
+            np.ascontiguousarray(books, dtype=np.float64).tobytes(),
+            list(books.shape),
+            baseline_top1_sim,
+            appended_batches,
+        )
+    else:
+        row = (residual, None, None, None, None, baseline_top1_sim, appended_batches)
+    spark.createDataFrame([row], _IVFPQ_META_SCHEMA).write.mode("overwrite").parquet(
+        path + "_meta"
+    )
+
+
+def read_ivfpq_meta(spark: SparkSession, path: str) -> dict:
+    """Sidecar contents as a dict; tolerates pre-r6 sidecars that carry
+    only the residual flag."""
+    row = spark.read.parquet(path + "_meta").first().asDict()
+    out = {
+        "residual": bool(row["residual"]),
+        "baseline_top1_sim": row.get("baseline_top1_sim"),
+        "appended_batches": int(row.get("appended_batches") or 0),
+        "centroids": None,
+        "codebooks": None,
+    }
+    if row.get("centroids") is not None:
+        out["centroids"] = np.frombuffer(
+            bytes(row["centroids"]), dtype=np.float64
+        ).reshape(row["centroids_shape"])
+        out["codebooks"] = np.frombuffer(
+            bytes(row["codebooks"]), dtype=np.float64
+        ).reshape(row["codebooks_shape"])
+    return out
+
+
+def mean_top1_centroid_sim(e: DataFrame, centroids: np.ndarray) -> float:
+    """Mean best-centroid similarity of a vector frame — the coarse-
+    quantizer health statistic (one Arrow pass + a tiny agg)."""
+
+    def _sim(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {"s": (x @ centroids.T).max(axis=1), "n": np.ones(len(x))}
+            )
+
+    agg = (
+        e.select("embedding")
+        .mapInPandas(_sim, schema="s double, n double")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(agg["s"] / agg["n"]) if agg["n"] else float("nan")
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    files_per_cell: int = 1,
+    retrain_drift: float = 0.05,
+) -> dict:
+    """Append new vectors to a written index — the maintenance story
+    (VERDICT r5 Next-round #8), matching the repo's resumable-jobs
+    discipline: encode-with-FROZEN-quantizers + partition-aligned
+    append + a measured retrain trigger, never a silent re-train.
+
+    Mechanics: the sidecar's persisted (centroids, codebooks) re-derive
+    the exact encoder (an index written without quantizers refuses —
+    appending with re-trained codebooks would silently mix encodings),
+    the batch is encoded in one fused Arrow pass and appended
+    file-per-cell into the same centroid= directories (readers see the
+    union immediately; partition pruning unchanged), and the sidecar is
+    rewritten with an incremented batch counter.
+
+    Drift trigger: appended data can migrate away from the frozen
+    coarse quantizer (new domains, new languages), degrading both the
+    prune ratio and the residual-code fit.  Each append measures the
+    batch's mean top-1 centroid similarity (mean_top1_centroid_sim)
+    against the sidecar baseline (recorded at build, or by the first
+    append if the builder didn't): a drop > ``retrain_drift`` sets
+    ``retrain_recommended`` — at which point the owner re-trains and
+    rewrites (encode is one pass over the corpus; the index is derived
+    data, rebuild is the checkpointed-job path, not an in-place
+    mutation).
+
+    Contract notes for 10^12-vector deployments: the embedding table
+    used for the exact re-rank must receive the appended rows too — an
+    id present in the index but missing from the table is silently
+    dropped at the re-rank join (pinned by the append test); vec_id
+    uniqueness is the CALLER's contract (this function does not anti-join the
+    existing id column — a full-index id scan per append is exactly the
+    cost append exists to avoid; route true upserts through a MERGE
+    table format, the sources/tables.py merge_upsert seam).  Appends
+    are parquet-atomic per run but the sidecar rewrite is not
+    transactional with the data append — crash between the two leaves
+    a valid index with a stale batch counter (the counter is advisory;
+    correctness never reads it)."""
+    spark = new_vectors.sparkSession
+    meta = read_ivfpq_meta(spark, path)
+    if meta["centroids"] is None:
+        raise ValueError(
+            "index sidecar carries no frozen quantizers: rewrite it with "
+            "write_ivfpq_index(..., quantizers=(centroids, codebooks)) before "
+            "appending — encoding a batch with re-derived quantizers would "
+            "silently mix encodings in the same cells"
+        )
+    cents, books = meta["centroids"], meta["codebooks"]
+    batch_sim = mean_top1_centroid_sim(new_vectors, cents)
+    batch = ivfpq_encode(new_vectors, cents, books, residual=meta["residual"]).persist()
+    try:
+        n_new = batch.count()
+        if files_per_cell > 1:
+            salt = F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+            parted = batch.repartition(F.col("centroid"), salt)
+        else:
+            parted = batch.repartition("centroid")
+        (
+            parted.sortWithinPartitions("centroid", "vec_id")
+            .write.mode("append")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("centroid")
+            .parquet(path)
+        )
+    finally:
+        batch.unpersist()
+    baseline = meta["baseline_top1_sim"]
+    if baseline is None:
+        baseline = batch_sim  # first append seeds the health baseline
+    drift = baseline - batch_sim
+    _write_ivfpq_meta(
+        spark,
+        path,
+        residual=meta["residual"],
+        quantizers=(cents, books),
+        baseline_top1_sim=baseline,
+        appended_batches=meta["appended_batches"] + 1,
+    )
+    return {
+        "appended": int(n_new),
+        "batch_top1_sim": round(batch_sim, 4),
+        "baseline_top1_sim": round(baseline, 4),
+        "drift": round(drift, 4),
+        "retrain_recommended": bool(drift > retrain_drift),
+    }
 
 
 def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:

@@ -712,3 +712,70 @@ def test_ivfpq_partial_probe_recall(spark, clustered_embeddings):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.85, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_ivfpq_index_append_and_drift(spark, clustered_embeddings, tmp_path):
+    """Index maintenance (r6): an index written with frozen quantizers
+    in its sidecar accepts appended batches — encoded with the SAME
+    quantizers, partition-aligned into the existing cells — and the
+    read-back union is immediately queryable; the drift statistic
+    recommends retraining when a batch sits far from the frozen
+    centroids; an index without persisted quantizers refuses to append."""
+    import numpy as np
+    import pytest
+
+    from sequali_spark.operators import similarity as sim
+
+    e = clustered_embeddings
+    cents = sim.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    books = sim.pq_train_residual(e, cents, n_sample=500, n_iter=8)
+    fused = sim.ivfpq_encode(e, cents, books)
+
+    # quantizer-less index refuses (silent mixed encodings otherwise)
+    bare = str(tmp_path / "idx_bare")
+    sim.write_ivfpq_index(fused, bare)
+    with pytest.raises(ValueError, match="frozen quantizers"):
+        sim.append_ivfpq_index(e.limit(5), bare)
+
+    path = str(tmp_path / "idx")
+    baseline = sim.mean_top1_centroid_sim(e, cents)
+    sim.write_ivfpq_index(
+        fused, path, quantizers=(cents, books), baseline_top1_sim=baseline
+    )
+    meta = sim.read_ivfpq_meta(spark, path)
+    np.testing.assert_allclose(meta["centroids"], cents)
+    np.testing.assert_allclose(meta["codebooks"], books)
+
+    # in-distribution batch: appended, queryable, no retrain flag
+    batch = e.filter("vec_id < 20").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    rep = sim.append_ivfpq_index(batch, path)
+    assert rep["appended"] == 20 and not rep["retrain_recommended"]
+    back = sim.read_ivfpq_index(spark, path)
+    assert back.count() == 520
+    # appended twins of vectors 0..19 are their own nearest neighbors:
+    # querying THROUGH the appended index must surface them at rank 1.
+    # The embedding table passed for the exact re-rank is the UNION —
+    # in production appends land in the vector table as well as the
+    # index; an id in the index but absent from the table would be
+    # silently dropped at re-rank
+    e_full = e.select("vec_id", "embedding").unionByName(batch)
+    got = sim.ivfpq_topk_for(
+        e_full, n_queries=5, k=5, n_centroids=8, n_probe=8,
+        centroids=cents, codebooks=books, codes=back,
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1 == {q: q + 10_000 for q in range(5)}
+    assert sim.read_ivfpq_meta(spark, path)["appended_batches"] == 1
+
+    # out-of-distribution batch (random directions): drift flags retrain
+    rng = np.random.RandomState(3)
+    far = rng.randn(30, 64)
+    far /= np.linalg.norm(far, axis=1, keepdims=True)
+    far_df = spark.createDataFrame(
+        [(20_000 + i, [float(x) for x in far[i]]) for i in range(30)],
+        schema="vec_id long, embedding array<float>",
+    )
+    rep2 = sim.append_ivfpq_index(far_df, path)
+    assert rep2["retrain_recommended"] and rep2["drift"] > 0.05
