@@ -52,6 +52,24 @@ def _cpu_busy_frac(window: float = 0.2) -> float:
     return round(1.0 - (i1 - i0) / dt, 3) if dt else 0.0
 
 
+def _steal_snap() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the hypervisor
+    CPU-steal counter.  On this Firecracker guest steal is the noise
+    channel that loadavg and busy-frac CANNOT see (measured r6: 14%
+    steady steal under a full 32-core spin on an otherwise idle guest,
+    with bursts that stretched individual samples 2-20x)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_frac(snap0: tuple[int, int]) -> float:
+    s1, t1 = _steal_snap()
+    dt = t1 - snap0[1]
+    return round((s1 - snap0[0]) / dt, 3) if dt > 0 else 0.0
+
+
 def wait_for_quiet(threshold: float = LOAD_GATE, budget: float = LOAD_GATE_BUDGET_SEC) -> dict:
     """Block (bounded) until the host 1-minute loadavg is below
     `threshold`.  Called BEFORE the Spark session starts, while our own
@@ -226,21 +244,46 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     per_query: dict[str, float] = {}
     query_samples: dict[str, list[float]] = {}
     sample_busy: dict[str, list[float]] = {}
+    sample_steal: dict[str, list[float]] = {}
     for name in HEADLINE:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # TWO untimed warmups: the first compiles whole-stage codegen,
+        # the second lets HotSpot C2 finish replacing interpreter frames
+        # (observed r6: sample sequences kept descending through run 3-4
+        # with zero steal — pure JIT settling, a session cost)
+        for _ in range(2):
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         busy = []
-        for _ in range(3):
+        steals = []
+        # steal-aware best-of-K: this guest is a throttled microVM
+        # (measured r6: 14% steady steal under full 32-core spin, with
+        # bursts that stretched one untouched query sample 2-20x), and
+        # steal is INVISIBLE to loadavg — so each sample records the
+        # /proc/stat steal fraction across its own timed window, and the
+        # loop takes extra samples (up to 6) until the BEST sample ran
+        # with <5% steal AND the last sample stopped improving the min
+        # (a still-descending min means the JVM hasn't settled yet).
+        # min-of-samples stays the reported value.
+        while True:
             # instantaneous external-load probe: the JVM is idle between
             # samples, so host busy-frac here ≈ hypervisor-neighbor noise
             busy.append(_cpu_busy_frac())
+            s0 = _steal_snap()
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            steals.append(_steal_frac(s0))
+            settled = samples[-1] > min(samples)
+            if len(samples) >= 3 and (
+                (steals[samples.index(min(samples))] < 0.05 and settled)
+                or len(samples) >= 6
+            ):
+                break
         per_query[name] = round(min(samples), 3)
         query_samples[name] = [round(s, 3) for s in samples]
         sample_busy[name] = busy
+        sample_steal[name] = steals
 
     # pipeline throughput on the same session's core count
     from sequali_spark.pipeline import quality_pipeline
@@ -252,17 +295,33 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     kept_agg = out.agg(F.sum(F.col("keep").cast("long")))
     kept_agg.first()  # warmup
+    kept_agg.first()  # second warmup (C2 settling, see headline loop)
     pipe_samples = []
     pipe_busy = []
-    for _ in range(3):
+    pipe_steal = []
+    # the pipeline leg saturates all 32 cores by design, and this
+    # microVM steals ~14% from a fully-loaded guest no matter how quiet
+    # the neighborhood (measured r6) — so the steal threshold here
+    # accepts the floor rather than burning 6 samples hunting a <5%
+    # window that cannot exist under full load
+    while True:
         pipe_busy.append(_cpu_busy_frac())
+        s0 = _steal_snap()
         t0 = time.time()
         kept_agg.first()
         pipe_samples.append(time.time() - t0)
+        pipe_steal.append(_steal_frac(s0))
+        settled = pipe_samples[-1] > min(pipe_samples)
+        if len(pipe_samples) >= 3 and (
+            (pipe_steal[pipe_samples.index(min(pipe_samples))] < 0.18 and settled)
+            or len(pipe_samples) >= 6
+        ):
+            break
     pipe_sec = min(pipe_samples)
     per_query["pipeline_64k_pages"] = round(pipe_sec, 3)
     query_samples["pipeline_64k_pages"] = [round(s, 3) for s in pipe_samples]
     sample_busy["pipeline_64k_pages"] = pipe_busy
+    sample_steal["pipeline_64k_pages"] = pipe_steal
     pages.unpersist()
     spark.stop()
 
@@ -285,6 +344,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         # per-sample pre-run host busy fraction (external-noise probe —
         # see _cpu_busy_frac; loadavg mid-run measures OUR OWN burst)
         "sample_pre_busy_frac": sample_busy,
+        # per-sample hypervisor steal fraction DURING the timed window
+        # (/proc/stat steal delta / total delta) — the one noise channel
+        # loadavg and busy-frac cannot see on this microVM; the sampling
+        # loop resamples until the best sample ran with <5% steal
+        "sample_steal_frac": sample_steal,
         # start-of-run load gate trace (wait_for_quiet)
         "load_gate": gate,
         "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
