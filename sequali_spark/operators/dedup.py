@@ -60,10 +60,12 @@ from sequali_spark.session import spread_for_python as _spread_for_python
 # intermediate alive; the next invocation releases the previous one so
 # long sessions (bench, notebooks) don't accumulate pinned blocks
 _CACHED: dict[str, DataFrame] = {}
+_CACHED_FP: dict[str, tuple] = {}
 
 
 def _release_prior_cache(key: str) -> None:
     prev = _CACHED.pop(key, None)
+    _CACHED_FP.pop(key, None)
     if prev is not None:
         try:
             prev.unpersist()
@@ -71,7 +73,32 @@ def _release_prior_cache(key: str) -> None:
             pass
 
 
-def _persist_pinned(key: str, df: DataFrame) -> DataFrame:
+def _cache_fingerprint(source: DataFrame, *parts) -> tuple | None:
+    """Reuse fingerprint for a pinned sketch: the RAW source frame's
+    concrete file listing (Spark writers stamp every part-file with a
+    fresh job UUID, so an in-place overwrite changes the listing) plus
+    the structural parameters that shape the sketch.  None (= never
+    reuse) when the source isn't file-backed — a createDataFrame or
+    already-cached input has no listing to compare.
+
+    The listing MUST come from the raw pre-sketch frame, not the sketch
+    itself: once a prior pin is alive, CacheManager substitutes it into
+    any new plan that matches by PATH, after which the new sketch's
+    plan (and its inputFiles) reflect the stale cache rather than the
+    overwritten files — and executing such a substituted plan would
+    materialize the new pin FROM the stale one (observed r6)."""
+    try:
+        files = sorted(source.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    return (tuple(files), *parts)
+
+
+def _persist_pinned(
+    key: str, df: DataFrame, fingerprint: tuple | None = None
+) -> DataFrame:
     """Persist + EAGERLY materialize a sketch frame under the cache
     registry.  The eager count() is load-bearing, not a warmup: the
     downstream verify stage reads the frame from broadcast-exchange
@@ -82,26 +109,24 @@ def _persist_pinned(key: str, df: DataFrame) -> DataFrame:
     a cache hit.  (The production dedup job goes further and
     checkpoints the frame to parquet — jobs/run_dedup.py.)
 
-    If the registry already holds a frame whose ANALYZED PLAN is
-    equivalent (Catalyst ``sameResult``) to the incoming one, that frame
-    is returned as-is: re-constructing the same query (a bench loop, a
-    notebook cell re-run) must not release + re-persist + re-run the
-    Python sketch stage for byte-identical data.  ``sameResult`` is
-    plan identity on canonicalized plans — a frame over different paths,
-    filters, or columns never matches, so a REFRESHED source is a new
-    plan and recomputes (measured r6: the re-pin was ~0.9 s of the
-    3 s dedup_minhash_pairs sample, all of it recomputing identical
-    signatures)."""
-    prev = _CACHED.get(key)
-    if prev is not None:
-        try:
-            same = prev._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            )
-        except Exception:
-            same = False
-        if same:
-            return prev
+    If ``fingerprint`` (see _cache_fingerprint: source file listing +
+    structural params) matches the one recorded at the previous pin,
+    the previously pinned frame is returned as-is: re-constructing the
+    same query (a bench loop, a notebook cell re-run) must not release
+    + re-persist + re-run the Python sketch stage for byte-identical
+    data (measured r6: the re-pin was ~0.9 s of the 3 s
+    dedup_minhash_pairs sample, all of it recomputing identical
+    signatures).  The decision deliberately never inspects the incoming
+    frame's plan — see _cache_fingerprint for why plan-level checks
+    (sameResult / inputFiles on the SKETCH) are unsound while a prior
+    pin is alive.  ``fingerprint=None`` always refreshes (the pre-r6
+    behavior)."""
+    if (
+        fingerprint is not None
+        and key in _CACHED
+        and _CACHED_FP.get(key) == fingerprint
+    ):
+        return _CACHED[key]
     _release_prior_cache(key)
     # materialize via a noop sink, not count(): count() plans a partial
     # + final aggregation (an extra exchange and AQE query stage); the
@@ -136,6 +161,8 @@ def _persist_pinned(key: str, df: DataFrame) -> DataFrame:
     try:
         df = df.persist()
         _CACHED[key] = df
+        if fingerprint is not None:
+            _CACHED_FP[key] = fingerprint
         df.write.format("noop").mode("overwrite").save()
     finally:
         for k, v in prev.items():
@@ -490,6 +517,11 @@ def minhash_pairs_for(
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     if collapse_exact:
         sigs = collapse_exact_reps(sigs, id_col=id_col)
+    # fingerprint from the RAW docs frame (see _cache_fingerprint) plus
+    # every structural parameter that shapes the pinned sketch; threshold
+    # and bucket/ring knobs apply downstream of the pin and are excluded
+    # on purpose so a threshold sweep over one corpus hits the pin
+    fp = _cache_fingerprint(docs, "minhash", id_col, text_col, collapse_exact)
     return minhash_pairs_from_sigs(
         sigs,
         id_col=id_col,
@@ -498,6 +530,7 @@ def minhash_pairs_for(
         edge_mode=edge_mode,
         ring_cap=ring_cap,
         ring_successors=ring_successors,
+        _pin_fingerprint=fp,
     )
 
 
@@ -605,6 +638,7 @@ def minhash_pairs_from_sigs(
     edge_mode: str = "pairs",
     ring_cap: int = 4096,
     ring_successors: int = 1,
+    _pin_fingerprint: tuple | None = None,
 ) -> DataFrame:
     """Band bucket-join + signature verify over a prepared signature
     frame (see minhash_pairs_for for the plan rationale).
@@ -646,7 +680,11 @@ def minhash_pairs_from_sigs(
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
-    sigs = _persist_pinned("minhash", sigs.select(id_col, "signature", "bands"))
+    sigs = _persist_pinned(
+        "minhash",
+        sigs.select(id_col, "signature", "bands"),
+        fingerprint=_pin_fingerprint,
+    )
     bands = sigs.select(
         id_col,
         F.posexplode("bands").alias("band_idx", "band_hash"),
@@ -856,6 +894,7 @@ def simhash_near_dup_pairs(
         collapse_exact_reps(
             _spread_for_python(prepared).mapInPandas(_batches, schema=schema)
         ).filter(F.col("simhash") != 0),  # degenerate: empty/tiny docs
+        fingerprint=_cache_fingerprint(d, "simhash"),
     )
     n_blocks = max_hamming + 1
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]

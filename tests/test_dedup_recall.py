@@ -779,3 +779,36 @@ def test_ivfpq_index_append_and_drift(spark, clustered_embeddings, tmp_path):
     )
     rep2 = sim.append_ivfpq_index(far_df, path)
     assert rep2["retrain_recommended"] and rep2["drift"] > 0.05
+
+
+def test_pinned_sketch_reuse_and_refresh(spark, tmp_path):
+    """The sketch-cache registry must REUSE the pinned frame when the
+    same query is reconstructed over unchanged input (r6: the re-pin
+    recomputed identical signatures on every bench sample), and must
+    REFRESH when the input files change — even at the same path
+    (in-place overwrite), which plan-level sameResult alone cannot see."""
+    p = str(tmp_path / "docs")
+    rows = [(i, f"alpha bravo charlie delta echo doc {i} " * 5) for i in range(50)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    docs = spark.read.parquet(p)
+    dedup.minhash_pairs_for(docs, threshold=0.9, collapse_exact=True).collect()
+    pinned1 = dedup._CACHED["minhash"]
+    # same input, reconstructed query -> the SAME pinned frame object
+    dedup.minhash_pairs_for(
+        spark.read.parquet(p), threshold=0.9, collapse_exact=True
+    ).collect()
+    assert dedup._CACHED["minhash"] is pinned1
+    # overwrite in place with DIFFERENT content: two exact dup groups
+    rows2 = [(i, f"duplicate text group {i % 2}") for i in range(50)]
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    dedup.minhash_pairs_for(
+        spark.read.parquet(p), threshold=0.9, collapse_exact=True
+    ).collect()
+    assert dedup._CACHED["minhash"] is not pinned1
+    # the refreshed sketch reflects the new content: 50 docs collapse
+    # to 2 exact reps (one per dup group)
+    assert dedup._CACHED["minhash"].count() == 2
