@@ -138,6 +138,17 @@ def run_curation(rows: int) -> dict:
     stats1, stats2 = "/tmp/atscale_cur1.json", "/tmp/atscale_cur2.json"
     env = dict(os.environ, PYTHONPATH=REPO)
 
+    # SIGKILL skips Spark's shutdown hooks, so run 1 leaks its local
+    # shuffle/block dirs (/tmp/blockmgr-*, /tmp/spark-*) — ~31 GB at 5M
+    # rows, enough to starve run 2 of disk (observed r6).  Snapshot the
+    # dirs that exist now and delete only the NEW ones after the kill,
+    # so concurrent sessions' temp dirs are never touched.
+    def _spark_tmp_dirs() -> set:
+        import glob
+        return set(glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"))
+
+    pre_kill_tmp = _spark_tmp_dirs()
+
     # run 1: kill after the decision-table checkpoint lands (the
     # expensive stage) but before the output join finishes — the
     # mid-run-crash scenario the stage resume exists for
@@ -160,6 +171,8 @@ def run_curation(rows: int) -> dict:
         time.sleep(0.2)
     proc.wait()
     t_run1 = time.time() - t0
+    for leaked in _spark_tmp_dirs() - pre_kill_tmp:
+        subprocess.run(["rm", "-rf", leaked], check=False)
 
     # run 2: must resume from the checkpoint and finish the cheap tail
     t1 = time.time()

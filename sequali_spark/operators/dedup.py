@@ -592,16 +592,37 @@ def _ring_edges(
     # broadcast failure — if the over-cap table itself is huge, the
     # banding has collapsed (near-everything shares buckets) and the
     # right fix is upstream (collapse exact dups, raise ring_cap),
-    # not a bigger broadcast.  One bounded extra aggregation per ring
-    # call; the sketch stage dwarfs it.
+    # not a bigger broadcast.
+    #
+    # The guard count and the broadcast join below consume the SAME
+    # bands-explode + partial-agg pass, so materialize over_cap ONCE
+    # into cache (eager noop sink) and serve both from it; a capped
+    # limit+count on the raw plan would only cache the partitions the
+    # limit touched and the join would re-run the full explode+agg
+    # (measured r6: 169 MB / 11.7M-bucket exchange twice at 1M rows).
+    # On a degenerate corpus the full materialization caches a large
+    # table for a moment before the raise — MEMORY_AND_DISK absorbs it
+    # and the unpersist below releases it; the cap itself protects the
+    # BROADCAST, which is the actual failure mode.
     max_overcap = 2_000_000  # ~50 MB broadcast at ~24 B/row
-    if over_cap.limit(max_overcap + 1).count() > max_overcap:
-        raise ValueError(
-            f"more than {max_overcap} band buckets exceed ring_cap="
-            f"{ring_cap}: the banding has degenerated (boilerplate or "
-            "uncollapsed exact duplicates dominate) — collapse exact "
-            "duplicates first or raise ring_cap"
-        )
+    # registry-pinned (not a bare persist) so the NEXT ring call
+    # releases this one — the returned frame is lazy, so there is no
+    # in-function point where unpersisting on success is safe
+    _release_prior_cache("ring_overcap")
+    over_cap = over_cap.persist()
+    _CACHED["ring_overcap"] = over_cap
+    try:
+        over_cap.write.format("noop").mode("overwrite").save()
+        if over_cap.count() > max_overcap:
+            raise ValueError(
+                f"more than {max_overcap} band buckets exceed ring_cap="
+                f"{ring_cap}: the banding has degenerated (boilerplate or "
+                "uncollapsed exact duplicates dominate) — collapse exact "
+                "duplicates first or raise ring_cap"
+            )
+    except ValueError:
+        _release_prior_cache("ring_overcap")
+        raise
     counted = exploded.join(F.broadcast(over_cap), key_cols, "left")
     # different literal seed than the ordering hash: salt and order must
     # be independent draws or sub-buckets would be contiguous runs
@@ -1075,6 +1096,18 @@ def connected_components(
     (rounds = graph diameter of the dup clusters).
     """
     import warnings
+    # Materialize the INPUT once before the union below embeds it twice.
+    # ``pairs`` is typically the expensive LSH-verify chain; the
+    # symmetrized edge union contains that subtree in BOTH branches, and
+    # AQE materializes the branches as CONCURRENT jobs without exchange
+    # reuse across them — measured r6 (event-log audit at 1M rows): the
+    # 3.9 GB verify re-attach exchange and the 339 MB sketch exchanges
+    # below it each ran 2-4x, ~2x the whole decision pipeline's shuffle
+    # (12.4 GB where ~6 GB is inherent).  One eager noop-sink pass pins
+    # the (small, verified-pairs-only) frame; both union branches then
+    # read the cache.  Same discipline as _persist_pinned.
+    pairs = pairs.select("doc_a", "doc_b").persist()
+    pairs.write.format("noop").mode("overwrite").save()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1134,6 +1167,7 @@ def connected_components(
         return labels.orderBy("doc_id")
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def dedup_keepers(
