@@ -812,3 +812,29 @@ def test_pinned_sketch_reuse_and_refresh(spark, tmp_path):
     # the refreshed sketch reflects the new content: 50 docs collapse
     # to 2 exact reps (one per dup group)
     assert dedup._CACHED["minhash"].count() == 2
+
+
+def test_band_prefilter_bit_identical(spark, pages_small, monkeypatch):
+    """The pigeonhole band prefilter (threshold > 0.765 -> m_min >= 1)
+    must be EXACTLY lossless: the verified pair set with the prefilter
+    active equals the set with it forced off, est_jaccard values
+    included.  The bound is pigeonhole, not probabilistic — at t=0.8 a
+    passing pair has <= 12 mismatched components, which can touch at
+    most 12 of the 16 bands, so >= 4 bands match positionally."""
+    pages = pages_df(spark, pages_small)
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in dedup.minhash_pairs_for(
+                pages, id_col="url", text_col="text", threshold=0.8
+            ).collect()
+        )
+
+    with_filter = run()
+    # m_min = LSH_BANDS - int(N_MINHASH * 0.2) >= 1 must hold for the
+    # configured geometry, otherwise this test exercises nothing
+    assert dedup.LSH_BANDS - int(dedup.N_MINHASH * 0.2) >= 1
+    monkeypatch.setattr(dedup, "BAND_PREFILTER", False)
+    without_filter = run()
+    assert with_filter == without_filter and len(with_filter) > 0
