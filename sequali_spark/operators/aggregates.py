@@ -114,6 +114,15 @@ def identify_overrepresented(
 
     boilerplate: (name string, content string) — small, broadcast.
     """
+    # ``overrep`` is tiny (top_k-limited) but its subtree is the
+    # corpus-wide shingle explode + groupBy, and it appears in every
+    # retry-tier branch of the union below plus the final left join —
+    # AQE materializes union branches as concurrent jobs WITHOUT
+    # exchange reuse (same failure mode measured in the
+    # connected_components audit, r6), so without this the corpus agg
+    # runs once per tier.  localCheckpoint: one materialization,
+    # lineage truncated, nothing to unpersist for a top_k-row frame.
+    overrep = overrep.localCheckpoint(eager=True)
     tiers = []
     for priority, k in enumerate(retry_ks):
         probe = F.substring("shingle", 1, k)

@@ -350,18 +350,25 @@ def probe_position_curve(
     with the AdapterContent cumulative-% finalize on top (A20,
     reference report_modules.py:1438-1475).
 
-    One scan per probe unioned (each a pushed-down instr projection),
-    histogram grouped on (probe, bucket), cumulative via window."""
+    ONE scan for all probes (r6; was one scan per probe unioned —
+    N_probes full text-column reads at corpus scale): every probe's
+    instr() is evaluated in a single projection, exploded to (probe,
+    pos) structs, zero-positions filtered after the explode.
+    Histogram grouped on (probe, bucket), cumulative via window."""
     d = load(spark, sf_dir, "documents")
-    parts = []
-    for p in probes:
-        pos = F.instr(F.col("text"), p)
-        parts.append(
-            d.select(F.lit(p).alias("probe"), pos.alias("pos")).filter(F.col("pos") > 0)
-        )
-    hits = parts[0]
-    for part in parts[1:]:
-        hits = hits.unionByName(part)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("probe"), F.instr(F.col("text"), p).alias("pos")
+            )
+            for p in probes
+        ]
+    )
+    hits = (
+        d.select(F.explode(pairs).alias("h"))
+        .select("h.probe", "h.pos")
+        .filter(F.col("pos") > 0)
+    )
     hist = hits.groupBy(
         "probe", (F.floor((F.col("pos") - 1) / bucket) * bucket).cast("long").alias("pos_bucket")
     ).agg(F.count("*").alias("docs"))
