@@ -147,6 +147,23 @@ def run_curation(rows: int) -> dict:
         import glob
         return set(glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"))
 
+    def _dir_in_use(path: str) -> bool:
+        prefix = os.path.realpath(path) + os.sep
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            fd_dir = f"/proc/{pid}/fd"
+            try:
+                for fd in os.listdir(fd_dir):
+                    try:
+                        if os.readlink(f"{fd_dir}/{fd}").startswith(prefix):
+                            return True
+                    except OSError:
+                        continue
+            except OSError:
+                continue  # process exited or not ours to inspect
+        return False
+
     pre_kill_tmp = _spark_tmp_dirs()
 
     # run 1: kill after the decision-table checkpoint lands (the
@@ -172,6 +189,14 @@ def run_curation(rows: int) -> dict:
     proc.wait()
     t_run1 = time.time() - t0
     for leaked in _spark_tmp_dirs() - pre_kill_tmp:
+        # the snapshot only protects sessions that existed BEFORE run 1
+        # launched; a Spark job started DURING run 1 would also appear
+        # in the difference (code-review r6).  Guard: skip any dir a
+        # live process still holds open (scan /proc/*/fd symlinks —
+        # no external tools needed); the killed JVM is dead, so its
+        # leaked dirs have no holders.
+        if _dir_in_use(leaked):
+            continue
         subprocess.run(["rm", "-rf", leaked], check=False)
 
     # run 2: must resume from the checkpoint and finish the cheap tail

@@ -83,33 +83,32 @@ def _parse(evdir: str, rows: int, wall: float) -> None:
     for root, _dirs, files in os.walk(evdir):
         logfiles += [os.path.join(root, f) for f in files if "appstatus" not in f]
     for fname in logfiles:
-        if True:
-            for line in _read_lines(fname):
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if ev.get("Event") != "SparkListenerStageCompleted":
-                    continue
-                si = ev["Stage Info"]
-                acc = {a["Name"]: a.get("Value", 0) for a in si.get("Accumulables", [])}
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Stage Name", "")[:70],
-                    "details": si.get("Details", "").split("\n")[0][:120],
-                    "tasks": si.get("Number of Tasks"),
-                    "sh_write_mb": round(
-                        int(acc.get("internal.metrics.shuffle.write.bytesWritten", 0))
-                        / 1e6, 1),
-                    "sh_read_mb": round(
-                        int(acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0))
-                        / 1e6
-                        + int(acc.get("internal.metrics.shuffle.read.localBytesRead", 0))
-                        / 1e6, 1),
-                    "spill_disk_mb": round(
-                        int(acc.get("internal.metrics.diskBytesSpilled", 0)) / 1e6, 1),
-                    "out_rows": int(
-                        acc.get("internal.metrics.shuffle.write.recordsWritten", 0)),
-                }
+        for line in _read_lines(fname):
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") != "SparkListenerStageCompleted":
+                continue
+            si = ev["Stage Info"]
+            acc = {a["Name"]: a.get("Value", 0) for a in si.get("Accumulables", [])}
+            stages[si["Stage ID"]] = {
+                "name": si.get("Stage Name", "")[:70],
+                "details": si.get("Details", "").split("\n")[0][:120],
+                "tasks": si.get("Number of Tasks"),
+                "sh_write_mb": round(
+                    int(acc.get("internal.metrics.shuffle.write.bytesWritten", 0))
+                    / 1e6, 1),
+                "sh_read_mb": round(
+                    int(acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0))
+                    / 1e6
+                    + int(acc.get("internal.metrics.shuffle.read.localBytesRead", 0))
+                    / 1e6, 1),
+                "spill_disk_mb": round(
+                    int(acc.get("internal.metrics.diskBytesSpilled", 0)) / 1e6, 1),
+                "out_rows": int(
+                    acc.get("internal.metrics.shuffle.write.recordsWritten", 0)),
+            }
     total_w = sum(s["sh_write_mb"] for s in stages.values())
     print(json.dumps({"rows": rows, "wall_sec": round(wall, 1),
                       "n_stages": len(stages),

@@ -113,31 +113,32 @@ def identify_overrepresented(
     best (longest-k, then name) match per shingle via row_number.
 
     boilerplate: (name string, content string) — small, broadcast.
-    """
-    # ``overrep`` is tiny (top_k-limited) but its subtree is the
-    # corpus-wide shingle explode + groupBy, and it appears in every
-    # retry-tier branch of the union below plus the final left join —
-    # AQE materializes union branches as concurrent jobs WITHOUT
-    # exchange reuse (same failure mode measured in the
-    # connected_components audit, r6), so without this the corpus agg
-    # runs once per tier.  localCheckpoint: one materialization,
-    # lineage truncated, nothing to unpersist for a top_k-row frame.
-    overrep = overrep.localCheckpoint(eager=True)
-    tiers = []
-    for priority, k in enumerate(retry_ks):
-        probe = F.substring("shingle", 1, k)
-        tiers.append(
-            overrep.join(F.broadcast(boilerplate), F.col("content").contains(probe))
-            .select("shingle", "count", "name", F.lit(priority).alias("tier"))
+
+    ``overrep`` (the corpus-wide shingle explode + groupBy, top_k-
+    limited) is referenced EXACTLY ONCE in the plan (code-review r6):
+    instead of one join per retry tier unioned — which embeds the
+    corpus agg in every branch, and AQE materializes union branches as
+    concurrent jobs without exchange reuse (the failure mode measured
+    in the connected_components audit) — the tier ladder itself is the
+    broadcast side: boilerplate × retry_ks exploded to (name, content,
+    tier, k) rows, one LEFT join against it, best match per shingle by
+    (tier, name) with nulls last so unmatched shingles keep their null
+    row.  Identical output, one corpus pass, no eager materialization
+    at query-construction time."""
+    # explicit tiny×tiny cartesian: |boilerplate| × |retry_ks| rows,
+    # both sides driver-known constants (the documented crossJoin
+    # exception class — bounded literal dimensions, never corpus data)
+    bp_tiers = boilerplate.crossJoin(
+        boilerplate.sparkSession.createDataFrame(
+            [(p, k) for p, k in enumerate(retry_ks)], "tier int, k int"
         )
-    matched = tiers[0]
-    for t in tiers[1:]:
-        matched = matched.unionByName(t)
-    w = W.partitionBy("shingle").orderBy("tier", "name")
-    best = (
-        matched.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("shingle", F.col("name").alias("best_match"), "tier")
+    )
+    probe = F.col("shingle").substr(F.lit(1), F.col("k"))
+    matched = overrep.join(
+        F.broadcast(bp_tiers), F.col("content").contains(probe), "left"
+    )
+    w = W.partitionBy("shingle").orderBy(
+        F.col("tier").asc_nulls_last(), F.col("name").asc_nulls_last()
     )
     # identity-scoring tier (the Smith-Waterman-identity analogue,
     # reference _seqidentmodule.c:20-370 ranks candidates by alignment
@@ -149,18 +150,19 @@ def identify_overrepresented(
         F.sequence(F.lit(1), n_grams), lambda i: F.col("shingle").substr(i, F.lit(4))
     )
     contained = F.size(F.filter(grams, lambda g: F.col("content").contains(g)))
-    score = F.floor(F.lit(10000) * contained / n_grams).cast("long")
-    scored = best.join(
-        F.broadcast(boilerplate), best.best_match == boilerplate.name
-    ).select("shingle", "best_match", "tier", score.alias("match_score_bps"))
+    score = F.when(
+        F.col("name").isNotNull(),
+        F.floor(F.lit(10000) * contained / n_grams).cast("long"),
+    )
     return (
-        overrep.join(scored, "shingle", "left")
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
             "shingle",
             "count",
-            "best_match",
+            F.col("name").alias("best_match"),
             F.col("tier").alias("match_tier"),
-            "match_score_bps",
+            score.alias("match_score_bps"),
         )
         .orderBy(F.desc("count"), "shingle")
     )

@@ -86,14 +86,34 @@ def _cache_fingerprint(source: DataFrame, *parts) -> tuple | None:
     any new plan that matches by PATH, after which the new sketch's
     plan (and its inputFiles) reflect the stale cache rather than the
     overwritten files — and executing such a substituted plan would
-    materialize the new pin FROM the stale one (observed r6)."""
+    materialize the new pin FROM the stale one (observed r6).
+
+    The file listing alone is NOT enough (code-review r6): two
+    different queries over the same parquet — ``docs`` vs
+    ``docs.filter(...)`` — list identical files, and sharing a pin
+    between them would silently drop (or resurrect) rows.  The
+    fingerprint therefore also digests the source's CANONICALIZED
+    analyzed plan: canonicalization normalizes expression ids, so the
+    same query re-constructed in a fresh line matches, while any
+    filter/column/join difference changes the digest.  The ANALYZED
+    plan (not the executed one) is read before any action, i.e. before
+    CacheManager substitution can rewrite it, so the r6 staleness trap
+    above does not apply to it."""
     try:
         files = sorted(source.inputFiles())
+        if not files:
+            return None
+        import hashlib
+
+        plan = (
+            source._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        plan_digest = hashlib.blake2b(
+            plan.encode("utf-8", "replace"), digest_size=16
+        ).hexdigest()
     except Exception:
         return None
-    if not files:
-        return None
-    return (tuple(files), *parts)
+    return (tuple(files), plan_digest, *parts)
 
 
 def _persist_pinned(
@@ -126,7 +146,22 @@ def _persist_pinned(
         and key in _CACHED
         and _CACHED_FP.get(key) == fingerprint
     ):
-        return _CACHED[key]
+        prev = _CACHED[key]
+        # the registry outlives Spark sessions (module global): a pin
+        # from a stopped/replaced session must refresh, not be handed
+        # back to die on first use (code-review r6).  Liveness = the
+        # pinned frame's session is the one the incoming frame runs on
+        # and its SparkContext is not stopped; any py4j failure counts
+        # as dead.
+        try:
+            same_session = prev.sparkSession._jsparkSession.equals(
+                df.sparkSession._jsparkSession
+            )
+            alive = same_session and not prev.sparkSession._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if alive:
+            return prev
     _release_prior_cache(key)
     # materialize via a noop sink, not count(): count() plans a partial
     # + final aggregation (an extra exchange and AQE query stage); the
@@ -609,14 +644,15 @@ def _ring_edges(
     # and the unpersist below releases it; the cap itself protects the
     # BROADCAST, which is the actual failure mode.
     max_overcap = 2_000_000  # ~50 MB broadcast at ~24 B/row
-    # registry-pinned (not a bare persist) so the NEXT ring call
-    # releases this one — the returned frame is lazy, so there is no
-    # in-function point where unpersisting on success is safe
-    _release_prior_cache("ring_overcap")
-    over_cap = over_cap.persist()
-    _CACHED["ring_overcap"] = over_cap
+    # registry-pinned via _persist_pinned (NOT a hand-rolled persist):
+    # the registry means the NEXT ring call releases this one — the
+    # returned frame is lazy, so there is no in-function point where
+    # unpersisting on success is safe — and _persist_pinned's scoped
+    # byte-based-coalescing confs keep this tiny frame out of
+    # shuffle.partitions near-empty cached blocks (the measured
+    # ~20 ms/block broadcast-build penalty, see _persist_pinned)
     try:
-        over_cap.write.format("noop").mode("overwrite").save()
+        over_cap = _persist_pinned("ring_overcap", over_cap)
         if over_cap.count() > max_overcap:
             raise ValueError(
                 f"more than {max_overcap} band buckets exceed ring_cap="
@@ -1148,22 +1184,27 @@ def connected_components(
     # the (small, verified-pairs-only) frame; both union branches then
     # read the cache.  Same discipline as _persist_pinned.
     pairs = pairs.select("doc_a", "doc_b").persist()
-    pairs.write.format("noop").mode("overwrite").save()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
     changed = 0
     rounds = 0
+    # everything that can RUN (the eager pairs materialization, the
+    # labels checkpoint, the rounds) lives inside the try so a failure
+    # at any point still releases both pins (code-review r6: the eager
+    # writes used to precede the try and an OOM there leaked them for
+    # the session's lifetime)
     try:
+        pairs.write.format("noop").mode("overwrite").save()
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
         for _ in range(max_iter):
             rounds += 1
             neighbor_min = (

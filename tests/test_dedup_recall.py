@@ -838,3 +838,22 @@ def test_band_prefilter_bit_identical(spark, pages_small, monkeypatch):
     monkeypatch.setattr(dedup, "BAND_PREFILTER", False)
     without_filter = run()
     assert with_filter == without_filter and len(with_filter) > 0
+
+
+def test_pinned_sketch_distinguishes_filtered_source(spark, tmp_path):
+    """Same parquet files, different QUERY (a filter between the read
+    and the sketch) must NOT share a pin: the fingerprint digests the
+    source's canonicalized analyzed plan, not just its file listing
+    (code-review r6 — listing-only sharing silently dropped every pair
+    involving a filtered-out doc)."""
+    p = str(tmp_path / "docs")
+    rows = [(i, f"omega sigma theta lambda doc body {i} " * 6) for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    full = spark.read.parquet(p)
+    dedup.minhash_pairs_for(full, threshold=0.9, collapse_exact=True).collect()
+    pinned_full = dedup._CACHED["minhash"]
+    n_full = pinned_full.count()
+    filtered = spark.read.parquet(p).filter("doc_id < 20")
+    dedup.minhash_pairs_for(filtered, threshold=0.9, collapse_exact=True).collect()
+    assert dedup._CACHED["minhash"] is not pinned_full
+    assert dedup._CACHED["minhash"].count() < n_full
