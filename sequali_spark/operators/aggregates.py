@@ -125,12 +125,15 @@ def identify_overrepresented(
     (tier, name) with nulls last so unmatched shingles keep their null
     row.  Identical output, one corpus pass, no eager materialization
     at query-construction time."""
-    # explicit tiny×tiny cartesian: |boilerplate| × |retry_ks| rows,
-    # both sides driver-known constants (the documented crossJoin
-    # exception class — bounded literal dimensions, never corpus data)
+    # tiny×tiny expansion: |boilerplate| × |retry_ks| rows, the k-table
+    # a driver-known literal — broadcast it so the plan is a
+    # BroadcastNestedLoopJoin (the allowed tiny-theta-join shape), never
+    # a CartesianProduct (plan-sweep-forbidden)
     bp_tiers = boilerplate.crossJoin(
-        boilerplate.sparkSession.createDataFrame(
-            [(p, k) for p, k in enumerate(retry_ks)], "tier int, k int"
+        F.broadcast(
+            boilerplate.sparkSession.createDataFrame(
+                [(p, k) for p, k in enumerate(retry_ks)], "tier int, k int"
+            )
         )
     )
     probe = F.col("shingle").substr(F.lit(1), F.col("k"))
