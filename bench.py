@@ -326,7 +326,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark.stop()
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
-    return {
+    # COMPACT headline result — this dict is the bench's final stdout
+    # line and must stay well under the driver's ~2000-char tail capture
+    # (BENCH_r06.json had parsed:null because the per-sample forensics
+    # outgrew it — VERDICT r6 #1).  The full noise forensics (every
+    # sample, pre-run busy fraction, per-sample steal, the load-gate
+    # attempt trace) go to BENCH/last_run.json instead.
+    compact = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
@@ -335,11 +341,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "pipeline_docs_per_sec": round(n / pipe_sec, 1),
         "pipeline_rows": n,
         "cpus": cpus,
+        "load_gated": gate["gated"],
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }
+    forensics = {
+        **compact,
         # noise forensics (VERDICT r4 What's-wrong #2): all samples per
-        # query (value is best-of) + the host load average, so a noisy
-        # artifact is distinguishable from a real regression in the
-        # artifact itself.  This box idles at double-digit load (shared
-        # hypervisor); spread samples + high load => discount the total.
+        # query (value is best-of) + host load, so a noisy artifact is
+        # distinguishable from a real regression.  This box idles at
+        # double-digit load (shared hypervisor); spread samples + high
+        # load => discount the total.
         "query_samples": query_samples,
         # per-sample pre-run host busy fraction (external-noise probe —
         # see _cpu_busy_frac; loadavg mid-run measures OUR OWN burst)
@@ -352,6 +363,39 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         # start-of-run load gate trace (wait_for_quiet)
         "load_gate": gate,
         "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+        json.dump(forensics, f, indent=1)
+    return compact
+
+
+def run_old_protocol(sf_dir: str, cpus: int, names: list[str]) -> dict:
+    """The r4/r5 sampling protocol, kept runnable so cross-round
+    comparisons stay separable from methodology changes (ADVICE r6):
+    cold sketch pin (fingerprint reuse disabled), NO untimed warmups,
+    plain best-of-3.  Run per query in a fresh session."""
+    os.environ["SEQUALI_SPARK_DISABLE_PIN_REUSE"] = "1"
+    import __spark_entry__ as entry_mod
+
+    gate = wait_for_quiet()
+    out: dict[str, dict] = {}
+    for name in names:
+        spark = _spark(cpus)
+        queries = entry_mod.queries()
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        spark.stop()
+        out[name] = {"best": min(samples), "samples": samples}
+    return {
+        "protocol": "r4r5_cold_pin_best_of_3_no_warmup",
+        "queries": out,
+        "cpus": cpus,
+        "load_gated": gate["gated"],
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
 
@@ -453,6 +497,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--throughput-only", action="store_true")
+    ap.add_argument(
+        "--old-protocol",
+        nargs="*",
+        metavar="QUERY",
+        help="re-record named queries (default: dedup_minhash_pairs) under "
+        "the r4/r5 protocol: cold pin, no warmups, best-of-3",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--rows", type=int, default=PIPELINE_BENCH_ROWS)
     ap.add_argument(
@@ -462,6 +513,9 @@ def main() -> None:
 
     if args.throughput_only:
         print(json.dumps(pipeline_throughput(args.cpus, args.rows)))
+    elif args.old_protocol is not None:
+        names = args.old_protocol or ["dedup_minhash_pairs"]
+        print(json.dumps(run_old_protocol(args.sf_dir, args.cpus, names)))
     elif args.scaling:
         print(json.dumps(run_scaling(args.rows)))
     else:

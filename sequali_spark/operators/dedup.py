@@ -9,6 +9,8 @@ deterministic (hash-keyed, never order-dependent; SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -98,22 +100,41 @@ def _cache_fingerprint(source: DataFrame, *parts) -> tuple | None:
     filter/column/join difference changes the digest.  The ANALYZED
     plan (not the executed one) is read before any action, i.e. before
     CacheManager substitution can rewrite it, so the r6 staleness trap
-    above does not apply to it."""
+    above does not apply to it.
+
+    Two soundness hardenings (ADVICE r6): (a) the plan's toString
+    truncates each node's field list at spark.sql.debug.maxToStringFields
+    (default 25), so the digest ALSO folds in semanticHash() — a full
+    structural hash of the canonicalized tree with no string rendering
+    in the loop; two plans must collide on both to share a pin.  (b)
+    the listing carries per-file (path, length, modificationTime), not
+    names alone, so an in-place overwrite by a writer that keeps the
+    same filenames (a non-Spark writer, or object-store copy-over)
+    changes the fingerprint."""
     try:
         files = sorted(source.inputFiles())
         if not files:
             return None
         import hashlib
 
-        plan = (
-            source._jdf.queryExecution().analyzed().canonicalized().toString()
+        qe = source._jdf.queryExecution()
+        canon = qe.analyzed().canonicalized()
+        plan_digest = (
+            hashlib.blake2b(
+                canon.toString().encode("utf-8", "replace"), digest_size=16
+            ).hexdigest(),
+            int(canon.semanticHash()),
         )
-        plan_digest = hashlib.blake2b(
-            plan.encode("utf-8", "replace"), digest_size=16
-        ).hexdigest()
+        jvm = source.sparkSession._jvm
+        hconf = source.sparkSession._jsc.hadoopConfiguration()
+        stats = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            st = p.getFileSystem(hconf).getFileStatus(p)
+            stats.append((f, int(st.getLen()), int(st.getModificationTime())))
     except Exception:
         return None
-    return (tuple(files), plan_digest, *parts)
+    return (tuple(stats), plan_digest, *parts)
 
 
 def _persist_pinned(
@@ -140,7 +161,10 @@ def _persist_pinned(
     frame's plan — see _cache_fingerprint for why plan-level checks
     (sameResult / inputFiles on the SKETCH) are unsound while a prior
     pin is alive.  ``fingerprint=None`` always refreshes (the pre-r6
-    behavior)."""
+    behavior; SEQUALI_SPARK_DISABLE_PIN_REUSE=1 forces it globally —
+    the old-protocol bench knob, see BENCH/BASELINE.md r7)."""
+    if os.environ.get("SEQUALI_SPARK_DISABLE_PIN_REUSE"):
+        fingerprint = None
     if (
         fingerprint is not None
         and key in _CACHED
@@ -196,9 +220,14 @@ def _persist_pinned(
     try:
         df = df.persist()
         _CACHED[key] = df
+        # materialize FIRST, record the fingerprint ONLY on success
+        # (ADVICE r6): a fingerprint pointing at a never-materialized
+        # pin would send the next identical call down the reuse path
+        # and hand every downstream consumer an unpinned frame — the
+        # exact duplicate-stage pathology the eager write prevents.
+        df.write.format("noop").mode("overwrite").save()
         if fingerprint is not None:
             _CACHED_FP[key] = fingerprint
-        df.write.format("noop").mode("overwrite").save()
     finally:
         for k, v in prev.items():
             if v is None:
@@ -1340,12 +1369,23 @@ def winnow_postings(
         for pdf in it:
             if not len(pdf):
                 continue
-            ids, fps = [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                for fp in winnow_fingerprints((t or "").encode("utf-8")):
-                    ids.append(doc_id)
-                    fps.append(int(fp))
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+            # per-doc kernel calls (the rolling hash is inherently
+            # per-document), but the explosion is pure numpy: repeat
+            # each id by its fingerprint count, concatenate the arrays
+            # (r7: replaces the last per-element Python append loop in
+            # any corpus-scan path; identity-tested in
+            # tests/test_winnow_overlap.py)
+            fps = [
+                winnow_fingerprints((t or "").encode("utf-8"))
+                for t in pdf[text_col]
+            ]
+            lens = np.fromiter(map(len, fps), dtype=np.int64, count=len(fps))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(lens),
+                    "fp": np.concatenate(fps),
+                }
+            )
 
     return _spread_for_python(df.select(id_col, text_col)).mapInPandas(
         _batches, schema=schema
@@ -1372,14 +1412,23 @@ def winnow_overlap_pairs(
     d = load(spark, sf_dir, "documents")
     posts = winnow_postings(d)
     if max_postings:
-        # one shuffle on fp that the self-join below reuses; buckets
-        # above the cap never reach the join
-        post_w = W.partitionBy("fp")
-        posts = (
-            posts.withColumn("_n", F.count("*").over(post_w))
-            .filter(F.col("_n") <= max_postings)
-            .drop("_n")
+        # hot-fingerprint sizes via groupBy (map-side partial agg: one
+        # row per fingerprint ever shuffles) + a broadcast ANTI-join —
+        # NOT a count-over-window, which would shuffle and materialize
+        # each fingerprint's FULL posting list on a single task: the
+        # exact hot-key concentration the cap exists to mitigate (r7;
+        # same pattern as decontamination_hits_winnow and _ring_edges).
+        # The broadcast side holds only over-cap fingerprints — tiny by
+        # construction (boilerplate keys are the pathology, not the
+        # population).  Equivalence to the old window guard is pinned
+        # by tests/test_winnow_overlap.py.
+        hot = (
+            posts.groupBy("fp")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_postings)
+            .select("fp")
         )
+        posts = posts.join(F.broadcast(hot), "fp", "left_anti")
     l, r = posts.alias("l"), posts.alias("r")
     return (
         l.join(

@@ -47,17 +47,26 @@ import numpy as np
 # image soft-degrades via decode_payload (and an allocation that
 # slips through is caught as MemoryError there).
 #
-# The cap also bounds WALL CLOCK (ADVICE r5): the scan cannot make the
-# walk decode more than 64 coefficients per block regardless of the
-# entropy bytes (every symbol advances the zigzag index), coefficient
-# count is <= ~1.5x pixels, and the measured worst-case per-coefficient
-# cost (a crafted stream of maximal 16-bit codes + 15-bit magnitudes,
-# BENCH/ATSCALE.md) is ~1.8 us — so a hostile image at this cap costs
-# ~29 s, not the minutes the former per-bit loop allowed.  Lower the
-# cap when even that is too much for one Arrow batch row.  Module
-# constant on purpose: the envelope is a deployment decision, not a
-# format one.
+# The WALL-CLOCK envelope is a separate, tighter gate (r7, closing
+# ADVICE r5 #3 fully): the walk decodes at most 64 coefficients per
+# 8x8 block regardless of the entropy bytes (every symbol advances the
+# zigzag index), so total decode work is bounded by the block count
+# the SOF declares — computable BEFORE any entropy decoding.  The
+# measured worst-case per-coefficient cost (a crafted stream of
+# maximal 16-bit codes + 15-bit magnitudes, BENCH/ATSCALE.md) is
+# ~1.8 us, so MAX_JPEG_COEFFICIENTS = 2.8M caps one adversarial image
+# at ~5 s of a core — the default pure-Python-path envelope.  Note
+# the budget counts COEFFICIENTS, not pixels: a crafted 4:4:4 file
+# carries 3 blocks per 64 pixels (2x the 4:2:0 assumption the old
+# pixel-only cap priced against), and the block-count gate is exact
+# for every sampling layout.  At the default, honest coverage is a
+# ~1.85 Mpx 4:2:0 photo or a ~2.8 Mpx grayscale page; pass
+# max_coefficients=MAX_JPEG_COEFFICIENTS_RELAXED (the r6 envelope,
+# ~43 s/core hostile worst case) to decode_jpeg_baseline when the
+# deployment owns the corpus and wants 12MP photos on this path.
 MAX_JPEG_PIXELS = 16_000_000
+MAX_JPEG_COEFFICIENTS = 2_800_000
+MAX_JPEG_COEFFICIENTS_RELAXED = 24_000_000
 
 # zigzag: index i of the scan order -> (row, col) flat index
 ZIGZAG = np.array([
@@ -285,14 +294,19 @@ class _SegmentDecoder:
         self.valid_end = self.base + n * 8
 
 
-def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
+def decode_jpeg_baseline(
+    payload: bytes, max_coefficients: int | None = None
+) -> np.ndarray:
     """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicated to 3ch).
 
     Raises ValueError on anything outside the supported envelope
     (progressive, 12-bit, >2 sampling factors, arithmetic coding,
-    truncation, hostile dims) — decode_payload soft-degrades."""
+    truncation, hostile dims, over-budget block counts) —
+    decode_payload soft-degrades.  ``max_coefficients`` overrides the
+    default MAX_JPEG_COEFFICIENTS wall-clock envelope (see the module
+    constants for the adversarial-cost math)."""
     try:
-        return _decode_jpeg_impl(payload)
+        return _decode_jpeg_impl(payload, max_coefficients)
     except (IndexError, KeyError, OverflowError, struct.error) as ex:
         # truncated/corrupt headers surface as slice/unpack/lookup
         # errors deep in the marker walk (KeyError: a scan referencing
@@ -301,7 +315,9 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG stream: {ex!r}") from ex
 
 
-def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
+def _decode_jpeg_impl(
+    payload: bytes, max_coefficients: int | None = None
+) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -391,6 +407,20 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         raise ValueError("unsupported sampling layout")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # wall-clock gate, BEFORE any entropy decoding or allocation: the
+    # walk emits at most 64 coefficients per declared block, so the
+    # SOF's block count bounds adversarial decode cost exactly — for
+    # every sampling layout (a 4:4:4 bomb declares 2x the blocks of
+    # the 4:2:0 a pixel-only cap prices against)
+    blocks_per_mcu = sum(c[1] * c[2] for c in comps)
+    total_coeffs = mcus_x * mcus_y * blocks_per_mcu * 64
+    budget = MAX_JPEG_COEFFICIENTS if max_coefficients is None else max_coefficients
+    if total_coeffs > budget:
+        raise ValueError(
+            f"declared block count ({total_coeffs} coefficients) exceeds "
+            f"MAX_JPEG_COEFFICIENTS budget ({budget}); pass "
+            "max_coefficients to raise the envelope"
+        )
 
     # split the entropy stream at restart markers, destuff each segment
     end = len(payload)

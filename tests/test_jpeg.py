@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 from sequali_spark.sources.jpeg import (
+    MAX_JPEG_COEFFICIENTS,
+    MAX_JPEG_COEFFICIENTS_RELAXED,
     MAX_JPEG_PIXELS,
     decode_jpeg_baseline,
     dct2,
@@ -72,6 +74,39 @@ def test_decompression_bomb_guarded_before_alloc():
     with pytest.raises(ValueError, match="MAX_JPEG_PIXELS"):
         decode_jpeg_baseline(bytes(jp))
     assert 60000 * 60000 > MAX_JPEG_PIXELS
+
+
+def test_coefficient_budget_gates_near_cap_hostile_header():
+    """r7 wall-clock envelope (closes ADVICE r5 #3 residue): a header
+    UNDER the 16M pixel cap but over the coefficient budget — the
+    slow-decode bomb the pixel-only cap priced wrong for 4:4:4 — must
+    be refused BEFORE any entropy decoding.  1400x1400 at the encoder's
+    4:2:0 layout declares 88x88 MCUs x 6 blocks x 64 = ~2.97M
+    coefficients: just past the 2.8M default (near-cap), ~5.3 s of a
+    core at the measured 1.8 us/coefficient hostile worst case."""
+    jp = bytearray(encode_jpeg_baseline(_gradient(16, 16)))
+    i = jp.find(b"\xff\xc0")
+    struct.pack_into(">HH", jp, i + 5, 1400, 1400)
+    declared = 88 * 88 * 6 * 64
+    assert 1400 * 1400 < MAX_JPEG_PIXELS  # the pixel cap alone misses it
+    assert MAX_JPEG_COEFFICIENTS < declared < int(MAX_JPEG_COEFFICIENTS * 1.1)
+    with pytest.raises(ValueError, match="MAX_JPEG_COEFFICIENTS"):
+        decode_jpeg_baseline(bytes(jp))
+    # the old envelope stays available as an explicit knob: the gate
+    # passes and the decode proceeds to the entropy stage (then fails
+    # on the 16x16-sized stream — a DIFFERENT, post-gate error)
+    with pytest.raises(ValueError) as ex:
+        decode_jpeg_baseline(bytes(jp), max_coefficients=MAX_JPEG_COEFFICIENTS_RELAXED)
+    assert "MAX_JPEG_COEFFICIENTS" not in str(ex.value)
+    assert declared <= MAX_JPEG_COEFFICIENTS_RELAXED
+
+
+def test_honest_image_decodes_under_default_budget():
+    """A real encoded image well under the budget round-trips through
+    the default envelope unchanged (the gate is header-math only)."""
+    img = _gradient(64, 48)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert out.shape == (64, 48, 3)
 
 
 def test_fill_bytes_before_marker_are_skipped():
