@@ -398,7 +398,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_cumulative": events.daily_cumulative,
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
-        "events_type_daily_pivot": events.event_type_hourly_pivot,
+        # r7 single-slot rotation (VERDICT r6 task 5): A4's alpha-ratio
+        # histogram — a §2.3 row judged only from prior rounds — takes
+        # events_type_daily_pivot's slot (green r4-r6; A17 keeps
+        # events_hourly_report in-window and events_type_totals in the
+        # mirror-swept overflow).  The other 49 slots are byte-identical
+        # to the r6 window.
+        "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
         "events_asof_join": events.asof_last_click_before_error,
         "events_props_json": events.props_json_stats,
         "events_gap_stats": events.inter_event_gap_stats,
@@ -427,7 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============ block 2: overflow oracle-backed siblings ============
         "doc_length_cumdist": textqc.length_cumdist,
         "doc_log_length_histogram": textqc.log_length_histogram,
-        "doc_alpha_ratio_histogram": textqc.alpha_ratio_histogram,
+        # r7: rotated out for doc_alpha_ratio_histogram (see block 1)
+        "events_type_daily_pivot": events.event_type_hourly_pivot,
         "doc_bottom_decile": textqc.bottom_decile_by_source,
         "doc_probe_position_curve": textqc.probe_position_curve,
         "doc_word_stats": textqc.word_stats_sql,

@@ -139,27 +139,51 @@ def run_curation(rows: int) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO)
 
     # SIGKILL skips Spark's shutdown hooks, so run 1 leaks its local
-    # shuffle/block dirs (/tmp/blockmgr-*, /tmp/spark-*) — ~31 GB at 5M
-    # rows, enough to starve run 2 of disk (observed r6).  Snapshot the
-    # dirs that exist now and delete only the NEW ones after the kill,
-    # so concurrent sessions' temp dirs are never touched.
+    # shuffle/block dirs — ~31 GB at 5M rows, enough to starve run 2 of
+    # disk (observed r6).  Primary containment (ADVICE r6): run 1 gets
+    # a DEDICATED SPARK_LOCAL_DIRS, so the bulk of the leak (shuffle +
+    # blockmgr) lands in a directory that is exclusively ours and is
+    # deleted by NAME after the kill — no scanning, no risk to any
+    # concurrent job's temp dirs, no TOCTOU.  The snapshot-diff sweep
+    # below only mops up the small java.io.tmpdir /tmp/spark-* driver
+    # dirs that don't follow SPARK_LOCAL_DIRS.
+    run1_local_dirs = f"/tmp/sequali_atscale_local_{rows}"
+    subprocess.run(["rm", "-rf", run1_local_dirs], check=False)
+
     def _spark_tmp_dirs() -> set:
         import glob
         return set(glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"))
 
     def _dir_in_use(path: str) -> bool:
-        prefix = os.path.realpath(path) + os.sep
+        """True if any live process plausibly owns `path`: an open fd
+        under it, a memory-mapped file under it, or a cwd inside it.
+        Spark shuffle files are written-and-closed, so an fd scan alone
+        can miss a live job between writes (ADVICE r6) — maps catches
+        mmapped shuffle/index blocks and cwd catches driver dirs.  The
+        sweep that consults this only ever deletes SMALL java-tmpdir
+        leftovers now (see run1_local_dirs above), so a residual miss
+        costs a re-fetch, not a job."""
+        real = os.path.realpath(path)
+        prefix = real + os.sep
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
                 continue
-            fd_dir = f"/proc/{pid}/fd"
+            base = f"/proc/{pid}"
             try:
-                for fd in os.listdir(fd_dir):
+                cwd = os.path.realpath(f"{base}/cwd")
+                if cwd == real or cwd.startswith(prefix):
+                    return True
+                for fd in os.listdir(f"{base}/fd"):
                     try:
-                        if os.readlink(f"{fd_dir}/{fd}").startswith(prefix):
+                        if os.readlink(f"{base}/fd/{fd}").startswith(prefix):
                             return True
                     except OSError:
                         continue
+                with open(f"{base}/maps") as mf:
+                    for line in mf:
+                        sp = line.rstrip("\n").split(None, 5)
+                        if len(sp) == 6 and sp[5].startswith(prefix):
+                            return True
             except OSError:
                 continue  # process exited or not ours to inspect
         return False
@@ -175,7 +199,7 @@ def run_curation(rows: int) -> dict:
             sys.executable, "jobs/run_curation.py",
             "--input", docs_dir, "--output", out, "--stats", stats1,
         ],
-        cwd=REPO, env=env,
+        cwd=REPO, env=dict(env, SPARK_LOCAL_DIRS=run1_local_dirs),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     killed = False
@@ -188,13 +212,17 @@ def run_curation(rows: int) -> dict:
         time.sleep(0.2)
     proc.wait()
     t_run1 = time.time() - t0
+    # the killed JVM's bulk leak lives in its dedicated local-dirs root:
+    # delete by name, unconditionally — it is exclusively run 1's
+    subprocess.run(["rm", "-rf", run1_local_dirs], check=False)
     for leaked in _spark_tmp_dirs() - pre_kill_tmp:
-        # the snapshot only protects sessions that existed BEFORE run 1
+        # residual sweep for the small java-tmpdir driver dirs.  The
+        # snapshot only protects sessions that existed BEFORE run 1
         # launched; a Spark job started DURING run 1 would also appear
         # in the difference (code-review r6).  Guard: skip any dir a
-        # live process still holds open (scan /proc/*/fd symlinks —
-        # no external tools needed); the killed JVM is dead, so its
-        # leaked dirs have no holders.
+        # live process plausibly owns (fd + maps + cwd scan — ADVICE
+        # r6); the killed JVM is dead, so its leaked dirs have no
+        # holders.
         if _dir_in_use(leaked):
             continue
         subprocess.run(["rm", "-rf", leaked], check=False)
@@ -222,6 +250,95 @@ def run_curation(rows: int) -> dict:
         "stats_reconciled": reconciled,
         "kept": stats["kept"],
         "dropped": stats["dropped"],
+    }
+
+
+def run_curation_scaling(rows: int, ladder: tuple = (2, 8)) -> dict:
+    """Scaling-efficiency evidence for the CURATION job (VERDICT r6
+    #7): the bench ladder covers the embarrassingly-parallel label
+    pipeline; this runs the full filter -> dedup -> decontaminate ->
+    write job — whose dedup stages are SHUFFLE-bound — at two
+    parallelism levels in fresh subprocesses on the identical prepared
+    corpus and reports throughput at both plus N->4N efficiency (the
+    in-sandbox mirror of the north rule's two-cluster-size criterion).
+
+    Protocol mirrors bench.py --scaling: attempts interleaved
+    round-robin across configs (hypervisor noise has minutes-long
+    correlation time), best-of per leg (noise only ever adds wall
+    time), every leg recomputes from scratch (--force + cleaned
+    checkpoint dirs — a resumed leg would measure the cheap tail),
+    per-leg dedicated SPARK_LOCAL_DIRS cleaned between attempts, and
+    identical outputs asserted via the stats JSON (kept/dropped must
+    match across every leg)."""
+    from bench import ensure_pages_parquet
+    from sequali_spark.session import get_spark
+
+    src = ensure_pages_parquet(rows)
+    docs_dir = f"/tmp/sequali_atscale_docs_{rows}"
+    if not os.path.exists(os.path.join(docs_dir, "documents.parquet", "_SUCCESS")):
+        spark = get_spark(app_name="atscale_prep")
+        _docs_from_pages(spark, src).write.mode("overwrite").parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        )
+        spark.stop()
+
+    results: dict[int, dict] = {}
+    decisions = {}
+    for attempt in range(2):
+        for cpus in ladder:
+            out = f"/tmp/sequali_atscale_curscale_{rows}_{cpus}"
+            stats = f"/tmp/atscale_curscale_{rows}_{cpus}.json"
+            local_dirs = out + "_local"
+            for p in (out, out + "_decisions", out + "_decisions_manifest",
+                      local_dirs, stats):
+                subprocess.run(["rm", "-rf", p], check=False)
+            env = dict(
+                os.environ,
+                PYTHONPATH=REPO,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_SHUFFLE=str(max(cpus, 8)),
+                SPARK_LOCAL_DIRS=local_dirs,
+            )
+            t0 = time.time()
+            proc = subprocess.run(
+                [
+                    sys.executable, "jobs/run_curation.py",
+                    "--input", docs_dir, "--output", out,
+                    "--stats", stats, "--force",
+                ],
+                cwd=REPO, env=env, capture_output=True, text=True,
+            )
+            dt = time.time() - t0
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"curation leg cpus={cpus} failed:\n" + proc.stderr[-3000:]
+                )
+            st = json.load(open(stats))
+            decisions.setdefault(cpus, (st["kept"], st["dropped"]))
+            assert decisions[cpus] == (st["kept"], st["dropped"])
+            dps = round(rows / dt, 1)
+            if cpus not in results or dps > results[cpus]["docs_per_sec"]:
+                results[cpus] = {
+                    "cpus": cpus,
+                    "seconds": round(dt, 1),
+                    "docs_per_sec": dps,
+                    "kept": st["kept"],
+                }
+            subprocess.run(["rm", "-rf", local_dirs], check=False)
+    # identical decisions across parallelism levels (partition-invariance)
+    canon = {json.dumps(d, sort_keys=True) for d in decisions.values()}
+    assert len(canon) == 1, f"decisions diverge across configs: {decisions}"
+    lo, hi = min(ladder), max(ladder)
+    eff = results[hi]["docs_per_sec"] / (
+        (hi / lo) * results[lo]["docs_per_sec"]
+    )
+    return {
+        "rows": rows,
+        "ladder": {str(c): results[c] for c in ladder},
+        "scaling_efficiency": round(eff, 3),
+        "from_to": f"local[{lo}] -> local[{hi}]",
+        "target": 0.8,
+        "pass": eff >= 0.8,
     }
 
 
@@ -588,7 +705,8 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument(
         "--mode",
-        choices=["dedup", "curation", "ann", "ann-disk", "ring-recall", "all"],
+        choices=["dedup", "curation", "curation-scaling", "ann", "ann-disk",
+                 "ring-recall", "all"],
         default="all",
     )
     args = ap.parse_args()
@@ -600,6 +718,9 @@ def main() -> None:
     if args.mode in ("curation", "all"):
         results["curation"] = run_curation(args.rows)
         print(json.dumps({"curation": results["curation"]}))
+    if args.mode == "curation-scaling":  # long ladder; not part of "all"
+        results["curation_scaling"] = run_curation_scaling(args.rows)
+        print(json.dumps({"curation_scaling": results["curation_scaling"]}))
     if args.mode == "ann":  # separate corpus; not part of "all"
         results["ann"] = run_ann(args.rows)
         print(json.dumps({"ann": results["ann"]}))

@@ -25,6 +25,7 @@ AUDITED = [
     "events_asof_join",
     "emb_brute_force_topk",
     "rel_top_unshipped",
+    "winnow_overlap_pairs",
 ]
 
 HEADER = """# PLANS — physical-plan audit of the headline queries
@@ -40,10 +41,16 @@ What to look for, per query:
   shingle; `PushedFilters`/`ReadSchema` show only `text` leaves storage.
 - **dedup_minhash_pairs** — one Python stage for signatures; exact-rep
   collapse is a map-side-combining `HashAggregate` on the digest (r4:
-  was a window); the band self-join exchanges ids+band hashes only (no
-  signature arrays); signatures re-attached via two joins against the
-  cached frame.  (The keepers/clustering path uses ring edges instead
-  of the head self-join — linear volume; see SCALE.md 2b.)
+  was a window); the candidate stage is ONE exchange (r6): buckets are
+  gathered by an `ObjectHashAggregate` collect_list on the band key and
+  pairs expand inside whole-stage codegen (`Generate` over higher-order
+  functions) — the former window-rank + anchor-broadcast + bucket
+  self-join plan is gone; signatures re-attached via two broadcast
+  joins against the pinned sketch.  At thresholds > 0.765 a pigeonhole
+  band prefilter (r6) screens candidates on the 16-long band arrays
+  before the 512B signature attach — bit-identical output, inactive at
+  this query's t=0.7.  (The keepers/clustering path uses ring edges —
+  linear volume; see SCALE.md 2b.)
 - **dedup_fingerprint_histogram** — two HashAggregate levels on
   shrinking data (fingerprint -> count, count -> n), pure JVM.
 - **events_asof_join** — single exchange on user_id, one sort, one
@@ -52,6 +59,13 @@ What to look for, per query:
   side broadcast (corpus side streams); window top-k after.
 - **rel_top_unshipped** — customer dimension broadcast
   (`BroadcastHashJoin`), fact-side filters pushed into the parquet scan.
+- **winnow_overlap_pairs** (operator, r7) — the stop-fingerprint skew
+  guard is a map-side-combining `HashAggregate` on fp + a
+  `BroadcastHashJoin` LeftAnti against the tiny over-cap key set; NO
+  `Window` node anywhere (the r6 count-over-window materialized each
+  fingerprint's full posting list on one task — the exact hot-key
+  concentration the cap exists to prevent); the pair count is again a
+  partial/final `HashAggregate` around one exchange on (doc_a, doc_b).
 """
 
 
@@ -59,8 +73,12 @@ def main() -> None:
     from sequali_spark.session import get_spark
     import __spark_entry__ as entry
 
+    from sequali_spark.operators import dedup
+
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     queries = entry.queries()
+    # operators audited directly (not a queries() entry)
+    queries["winnow_overlap_pairs"] = dedup.winnow_overlap_pairs
     out = [HEADER]
     for name in AUDITED:
         df = queries[name](spark, "/root/testdata/sf0.01")

@@ -796,6 +796,118 @@ def append_ivfpq_index(
     }
 
 
+def rebuild_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    files_per_cell: int = 1,
+    kmeans_iter: int = 2,
+    pq_sample: int = 20_000,
+    pq_iter: int = 10,
+) -> dict:
+    """The retrain half of the drift trigger (VERDICT r6 #6):
+    append_ivfpq_index flags ``retrain_recommended`` when appended data
+    migrates away from the frozen coarse quantizer; this executes the
+    rebuild — retrain quantizers on the CURRENT corpus, re-encode
+    everything in one fused Arrow pass, and swap the new index in via
+    write-new + rename, with the sidecar health baseline reset to the
+    retrained quantizer's own statistic and the append counter cleared.
+
+    ``embeddings`` must be the full current vector table (originals +
+    every appended batch) — the same table the exact re-rank reads; the
+    index is derived data, so rebuild is a deterministic function of
+    that table, never of the old index's lossy codes.
+
+    Structural parameters default to the OLD sidecar's (same centroid
+    count, same M) so a routine drift rebuild changes fit, not shape;
+    pass them explicitly to re-shape.  The residual flag is always
+    carried over — flipping the encoding family mid-life would change
+    score semantics under every reader.
+
+    Swap discipline: the new index (and its ``_meta`` sidecar) is fully
+    written and fsync'd under ``<path>__rebuild`` first, then swapped in
+    with two directory renames (old -> ``<path>__old``, new -> live) and
+    the old copy deleted last.  Rename is atomic on HDFS and local
+    filesystems, so readers see either the complete old index or the
+    complete new one; the crash windows leave either a leftover
+    ``__rebuild`` staging dir (harmless — next rebuild overwrites) or
+    the live dir momentarily absent between the two renames (the same
+    window every overwrite-by-rename job has; front with a catalog —
+    the sources/tables.py Iceberg seam — where that window matters).
+    Object stores without atomic rename should route through the
+    catalog path instead."""
+    spark = embeddings.sparkSession
+    old = read_ivfpq_meta(spark, path)
+    if n_centroids is None:
+        if old["centroids"] is None:
+            raise ValueError(
+                "old sidecar carries no quantizers to inherit the shape "
+                "from: pass n_centroids (and m) explicitly"
+            )
+        n_centroids = int(old["centroids"].shape[0])
+    if m is None:
+        m = int(old["codebooks"].shape[0]) if old["codebooks"] is not None else PQ_M
+    residual = old["residual"]
+
+    cents = kmeans_centroids(embeddings, n_centroids=n_centroids, n_iter=kmeans_iter)
+    if residual:
+        books = pq_train_residual(
+            embeddings, cents, m=m, n_sample=pq_sample, n_iter=pq_iter
+        )
+    else:
+        books = pq_train(embeddings, m=m, n_sample=pq_sample, n_iter=pq_iter)
+    fused = ivfpq_encode(embeddings, cents, books, residual=residual)
+    baseline = mean_top1_centroid_sim(embeddings, cents)
+
+    staging = path + "__rebuild"
+    write_ivfpq_index(
+        fused,
+        staging,
+        files_per_cell=files_per_cell,
+        quantizers=(cents, books),
+        baseline_top1_sim=baseline,
+    )
+    n_vectors = spark.read.parquet(staging).count()
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    trash = path + "__old"
+    for suffix in ("", "_meta"):
+        fs.delete(_p(trash + suffix), True)
+        if not fs.rename(_p(path + suffix), _p(trash + suffix)):
+            raise IOError(f"rename {path + suffix} -> {trash + suffix} failed")
+        if not fs.rename(_p(staging + suffix), _p(path + suffix)):
+            # roll the old index back so the live path never dangles
+            fs.rename(_p(trash + suffix), _p(path + suffix))
+            raise IOError(f"rename {staging + suffix} -> {path + suffix} failed")
+    for suffix in ("", "_meta"):
+        fs.delete(_p(trash + suffix), True)
+    # parquet footer/partition caches may still describe the old files
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(path + "_meta")
+
+    return {
+        "n_vectors": int(n_vectors),
+        "n_centroids": int(n_centroids),
+        "m": int(m),
+        "residual": bool(residual),
+        "old_baseline_top1_sim": (
+            round(old["baseline_top1_sim"], 4)
+            if old["baseline_top1_sim"] is not None
+            else None
+        ),
+        "new_baseline_top1_sim": round(baseline, 4),
+        "appended_batches_cleared": old["appended_batches"],
+    }
+
+
 def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
     """Read a written index back into the fused-frame shape
     ivfpq_topk_for expects.  The partition column comes back

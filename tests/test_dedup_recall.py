@@ -781,6 +781,112 @@ def test_ivfpq_index_append_and_drift(spark, clustered_embeddings, tmp_path):
     assert rep2["retrain_recommended"] and rep2["drift"] > 0.05
 
 
+def test_ivfpq_rebuild_restores_recall_after_drift(spark, tmp_path):
+    """The retrain half of the drift trigger (r7): append a drifted
+    batch -> flag fires -> rebuild_ivfpq_index retrains on the current
+    table and swaps the index -> recall on the drifted set is restored,
+    the sidecar baseline resets to the retrained statistic, and the
+    append counter clears."""
+    import numpy as np
+
+    from sequali_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(17)
+
+    def _cluster_rows(centers, n_per, id_base):
+        rows = []
+        for i in range(len(centers) * n_per):
+            c = i % len(centers)
+            v = centers[c] + 0.04 * rng.randn(64)
+            v /= np.linalg.norm(v)
+            rows.append((id_base + i, [float(x) for x in v]))
+        return rows
+
+    # original corpus: ids 10_000.. in 10 tight clusters
+    orig_centers = rng.randn(10, 64)
+    orig_centers /= np.linalg.norm(orig_centers, axis=1, keepdims=True)
+    orig = spark.createDataFrame(
+        _cluster_rows(orig_centers, 40, 10_000),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = sim.kmeans_centroids(orig, n_centroids=8, n_iter=2)
+    books = sim.pq_train_residual(orig, cents, n_sample=500, n_iter=8)
+    path = str(tmp_path / "idx")
+    sim.write_ivfpq_index(
+        sim.ivfpq_encode(orig, cents, books),
+        path,
+        quantizers=(cents, books),
+        baseline_top1_sim=sim.mean_top1_centroid_sim(orig, cents),
+    )
+
+    # drifted batch: ids 0..119 in 4 NEW clusters (low ids on purpose —
+    # ivfpq_topk_for queries vec_id < n_queries, so recall below is
+    # measured ON the drifted set)
+    drift_centers = rng.randn(4, 64)
+    drift_centers /= np.linalg.norm(drift_centers, axis=1, keepdims=True)
+    drifted = spark.createDataFrame(
+        _cluster_rows(drift_centers, 30, 0),
+        schema="vec_id long, embedding array<float>",
+    )
+    rep = sim.append_ivfpq_index(drifted, path)
+    assert rep["retrain_recommended"], rep
+
+    e_full = orig.unionByName(drifted)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk_for(e_full, n_queries=8, k=5).collect()
+    }
+
+    def _recall():
+        meta = sim.read_ivfpq_meta(spark, path)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivfpq_topk_for(
+                e_full,
+                n_queries=8,
+                k=5,
+                n_probe=2,
+                rerank_factor=4,  # the production shortlist shape; a
+                # frozen-quantizer index mis-shortlists drifted
+                # clusters, which factor-4 rerank cannot fully repair
+                centroids=meta["centroids"],
+                codebooks=meta["codebooks"],
+                codes=sim.read_ivfpq_index(spark, path),
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    before = _recall()
+    report = sim.rebuild_ivfpq_index(e_full, path, kmeans_iter=4)
+    after = _recall()
+    # measured (seeded): before 0.825, after 0.925 — the retrained
+    # quantizers restore the drifted clusters' shortlists
+    assert after > before, (before, after)
+    assert after >= 0.9, (before, after)
+
+    meta = sim.read_ivfpq_meta(spark, path)
+    assert meta["appended_batches"] == 0
+    assert meta["centroids"].shape == (8, 64)  # shape inherited
+    assert report["new_baseline_top1_sim"] == round(
+        meta["baseline_top1_sim"], 4
+    )
+    assert report["n_vectors"] == 520
+    # no staging/old leftovers after a clean swap
+    import os
+
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers
+    # the reset baseline is live: a batch drawn from the NEW mixture
+    # (all 14 clusters, like the rebuild corpus) no longer trips the
+    # trigger
+    more = spark.createDataFrame(
+        _cluster_rows(np.vstack([orig_centers, drift_centers]), 5, 50_000),
+        schema="vec_id long, embedding array<float>",
+    )
+    rep3 = sim.append_ivfpq_index(more, path)
+    assert not rep3["retrain_recommended"], rep3
+
+
 def test_pinned_sketch_reuse_and_refresh(spark, tmp_path):
     """The sketch-cache registry must REUSE the pinned frame when the
     same query is reconstructed over unchanged input (r6: the re-pin

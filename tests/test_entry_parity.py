@@ -73,6 +73,25 @@ def test_every_oracle_has_query():
     assert not set(ORACLES) - set(QUERIES)
 
 
+def test_mirror_sweep_is_the_overflow_gate():
+    """The window-count endgame (VERDICT r6 task 8): 62 oracle-backed
+    queries will never all fit the driver's 50 slots, so the contract
+    is: every oracle-backed query — windowed OR overflow — is swept by
+    test_query_matches_oracle against the typed-Arrow DuckDB oracle in
+    THIS suite, every round.  'Overflow' therefore formally means
+    'oracle-green this round via the mirror', not 'green when last
+    rotated in'.  This test pins the sweep's completeness: the
+    parametrized list covers every oracle, including the full overflow
+    set documented in tests/test_query_order.py."""
+    from tests.test_query_order import DRIVER_WINDOW, EXPECTED_OVERFLOW
+
+    assert set(WITH_ORACLE) == set(ORACLES)
+    assert len(WITH_ORACLE) == 62
+    overflow = {n for n in list(QUERIES)[DRIVER_WINDOW:] if n in ORACLES}
+    assert overflow == EXPECTED_OVERFLOW
+    assert overflow <= set(WITH_ORACLE)
+
+
 def _arrow_rows(tbl):
     """Row tuples of Arrow-native Python values — NOT driver-side casts:
     duckdb's fetchall() coerces HUGEINT sums to Python int, masking the

@@ -1,11 +1,12 @@
 """Pin the driver-judged 50-query prefix of ``queries()``.
 
-Round-6 single-slot rotation (VERDICT r5 task 6): slot 2 swaps
-doc_length_histogram (green r1-r5; family siblings stay oracle-backed,
-doc_length_percentiles stays in-window) for doc_decontaminate_winnow —
-the only r5 oracle with no driver row.  The other 49 slots are
-byte-identical to the r4/r5 window, so CORRECTNESS_r06 diffs against
-r05 in exactly one key.
+Round-7 single-slot rotation (VERDICT r6 task 5): slot 28 swaps
+events_type_daily_pivot (green r4-r6; A17 keeps events_hourly_report
+in-window and events_type_totals in the mirror-swept overflow) for
+doc_alpha_ratio_histogram — A4, the binning row judged only from prior
+rounds.  The other 49 slots are byte-identical to the r6 window, so
+CORRECTNESS_r07 diffs against r06 in exactly one key.  (r6 rotation:
+doc_length_histogram out, doc_decontaminate_winnow in.)
 
 The driver checks exactly the FIRST 50 entries.  CORRECTNESS_r01-r03
 judged the pre-rotation prefix; the prefix pinned here (rotated in
@@ -56,7 +57,7 @@ EXPECTED_PREFIX = [
     "events_daily_cumulative",
     "events_sessionize",
     "events_top_users",
-    "events_type_daily_pivot",
+    "doc_alpha_ratio_histogram",
     "events_asof_join",
     "events_props_json",
     "events_gap_stats",
@@ -86,7 +87,9 @@ EXPECTED_PREFIX = [
 EXPECTED_OVERFLOW = {
     "doc_length_cumdist",
     "doc_log_length_histogram",
-    "doc_alpha_ratio_histogram",
+    # r7 single-slot rotation: events_type_daily_pivot (green r4-r6)
+    # out, doc_alpha_ratio_histogram (A4) in
+    "events_type_daily_pivot",
     "doc_bottom_decile",
     "doc_probe_position_curve",
     "doc_word_stats",
