@@ -292,13 +292,21 @@ def run_curation_scaling(rows: int, ladder: tuple = (2, 8)) -> dict:
             for p in (out, out + "_decisions", out + "_decisions_manifest",
                       local_dirs, stats):
                 subprocess.run(["rm", "-rf", p], check=False)
+            # shuffle partitions stay at the job's default (32) for
+            # EVERY leg: partition count is sized by data volume
+            # (bounded partition size), cores only set concurrency —
+            # forcing partitions = cores at 2M rows quadrupled
+            # partition size on the small leg and OOMed the 8 GB heap
+            # (measured r7); identical partitioning also means the legs
+            # differ only in parallelism, which is what the ladder
+            # measures.
             env = dict(
                 os.environ,
                 PYTHONPATH=REPO,
                 SPARK_GRAFT_CPUS=str(cpus),
-                SPARK_GRAFT_SHUFFLE=str(max(cpus, 8)),
                 SPARK_LOCAL_DIRS=local_dirs,
             )
+            env.pop("SPARK_GRAFT_SHUFFLE", None)
             t0 = time.time()
             proc = subprocess.run(
                 [

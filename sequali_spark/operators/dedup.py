@@ -1410,18 +1410,24 @@ def winnow_overlap_pairs(
     candidate noise, not true document-level near-dups (which share
     many rarer fingerprints)."""
     d = load(spark, sf_dir, "documents")
-    posts = winnow_postings(d)
+    # ONE shuffle on fp that every consumer below hangs off: the hot
+    # count, the anti-join probe side, and both legs of the self-join
+    # are identical subtrees over this exchange, so Spark's exchange
+    # reuse runs the Python winnow scan ONCE per execution (without the
+    # explicit repartition the planner compiled 8 MapInPandas scans of
+    # the corpus into this plan — measured r7, PLANS.md).
+    posts = winnow_postings(d).repartition("fp")
     if max_postings:
-        # hot-fingerprint sizes via groupBy (map-side partial agg: one
-        # row per fingerprint ever shuffles) + a broadcast ANTI-join —
-        # NOT a count-over-window, which would shuffle and materialize
-        # each fingerprint's FULL posting list on a single task: the
-        # exact hot-key concentration the cap exists to mitigate (r7;
-        # same pattern as decontamination_hits_winnow and _ring_edges).
-        # The broadcast side holds only over-cap fingerprints — tiny by
-        # construction (boilerplate keys are the pathology, not the
-        # population).  Equivalence to the old window guard is pinned
-        # by tests/test_winnow_overlap.py.
+        # hot-fingerprint sizes via groupBy + a broadcast ANTI-join —
+        # NOT a count-over-window, which would buffer each
+        # fingerprint's FULL posting list on a single task: the exact
+        # hot-key concentration the cap exists to mitigate (r7; same
+        # pattern as decontamination_hits_winnow and _ring_edges).
+        # The agg runs post-exchange (streaming hash agg, no per-key
+        # buffering) and the broadcast side holds only over-cap
+        # fingerprints — tiny by construction (boilerplate keys are
+        # the pathology, not the population).  Equivalence to the old
+        # window guard is pinned by tests/test_winnow_overlap.py.
         hot = (
             posts.groupBy("fp")
             .agg(F.count("*").alias("_n"))
