@@ -300,10 +300,24 @@ def run_curation_scaling(rows: int, ladder: tuple = (2, 8)) -> dict:
             # (measured r7); identical partitioning also means the legs
             # differ only in parallelism, which is what the ladder
             # measures.
+            #
+            # Memory is provisioned OUT of the measurement (16 GB on
+            # every leg): cores must be the only scaled resource.  Two
+            # failed protocols document why (BENCH/ATSCALE.md r7):
+            # the default shared 8 GB heap starved the 8-core leg (8
+            # concurrent task sorts + the corpus-sized signature cache
+            # in the heap 2 tasks had to themselves -> GC/spill
+            # pressure, "efficiency" 0.61, an artifact no real 4N
+            # cluster with 4x aggregate memory would see), while
+            # memory-per-core (1.5 GB/core) starved the 2-CORE leg
+            # (UNABLE_TO_ACQUIRE_MEMORY: the cache footprint is
+            # corpus-sized and core-independent, and local mode cannot
+            # shard it across executors the way a real cluster does).
             env = dict(
                 os.environ,
                 PYTHONPATH=REPO,
                 SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_DRIVER_MEM="16g",
                 SPARK_LOCAL_DIRS=local_dirs,
             )
             env.pop("SPARK_GRAFT_SHUFFLE", None)

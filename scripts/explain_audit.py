@@ -66,6 +66,11 @@ What to look for, per query:
   fingerprint's full posting list on one task — the exact hot-key
   concentration the cap exists to prevent); the pair count is again a
   partial/final `HashAggregate` around one exchange on (doc_a, doc_b).
+  The Python winnow scan executes ONCE per run: every consumer (hot
+  count, anti-join probe, both self-join legs) hangs off one explicit
+  repartition(fp) exchange that AQE's stage cache reuses — verified via
+  the status API (exactly one stage with inputRecords > 0); the
+  compile-time tree prints 4 MapInPandas nodes, runtime runs 1.
 """
 
 

@@ -1412,10 +1412,11 @@ def winnow_overlap_pairs(
     d = load(spark, sf_dir, "documents")
     # ONE shuffle on fp that every consumer below hangs off: the hot
     # count, the anti-join probe side, and both legs of the self-join
-    # are identical subtrees over this exchange, so Spark's exchange
-    # reuse runs the Python winnow scan ONCE per execution (without the
-    # explicit repartition the planner compiled 8 MapInPandas scans of
-    # the corpus into this plan — measured r7, PLANS.md).
+    # are identical subtrees over this exchange, so AQE's stage cache
+    # runs the Python winnow scan ONCE per execution — verified via the
+    # status API: exactly one stage reads input records (without the
+    # explicit repartition the plan carried 8 independent MapInPandas
+    # corpus scans — measured r7, PLANS.md).
     posts = winnow_postings(d).repartition("fp")
     if max_postings:
         # hot-fingerprint sizes via groupBy + a broadcast ANTI-join —
