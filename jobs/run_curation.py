@@ -102,8 +102,6 @@ def curate(
     other member drops as 'duplicate', so no representative survives
     even when other members are clean (the 'filter -> dedup' workflow
     implies a surviving representative when one exists)."""
-    from pyspark.sql import Window as W
-
     from sequali_spark.operators import dedup, textqc
 
     if docs is None:
@@ -129,13 +127,22 @@ def curate(
     passes = F.coalesce("gates_passed", F.lit(0)) >= min_gates
     clean = ~F.coalesce("_is_contaminated", F.lit(False))
     prio = F.when(passes & clean, 0).when(passes, 1).otherwise(2)
-    elected = F.min(F.struct(prio.alias("p"), F.col("doc_id").alias("d"))).over(
-        # per-cluster window: dup clusters are small by construction
-        # (star-capped buckets + components), never a row-level frame
-        W.partitionBy("component")
-    )["d"]
+    # per-cluster election via map-side-combining groupBy + join back,
+    # NOT min-over-window partitioned by component (r8 excision, same
+    # as keepers_from_labeled_sigs): star-capping bounds candidate
+    # PAIRS per bucket, not component membership — a mega-duplicated
+    # boilerplate page is one component with its full copy count, and
+    # an unbounded window would buffer that membership on one task.
+    # The groupBy ships one (component, keeper) row per cluster; the
+    # join back streams ``clusters`` (cheap joins over the pinned
+    # signature / checkpointed CC frames) and is AQE-skew-splittable.
+    keeper_by_comp = members.groupBy("component").agg(
+        F.min(F.struct(prio.alias("p"), F.col("doc_id").alias("d")))["d"].alias(
+            "_keeper"
+        )
+    )
     dup_losers = (
-        members.withColumn("_keeper", elected)
+        clusters.join(keeper_by_comp, "component")
         .filter(F.col("doc_id") != F.col("_keeper"))
         .select("doc_id", F.lit(True).alias("_is_dup"))
     )

@@ -89,6 +89,10 @@ def main() -> None:
         dedup.exact_rep_labeled_sigs(docs.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(sigs_path)
+        # the sketch pin only existed to share one Arrow scan between
+        # the rep aggregation and the join probe above; the parquet
+        # checkpoint now owns the data
+        dedup._release_prior_cache("labeled_sigs")
         write_stage_manifest(spark, man_path, manifest_rows, SIGS_MANIFEST_SCHEMA)
     labeled = spark.read.parquet(sigs_path)
 

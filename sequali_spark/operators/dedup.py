@@ -529,14 +529,23 @@ def exact_rep_labeled_sigs(
     """Signature frame with exact-dedup labels: (id, rep, digest,
     signature, bands) where rep = min id among byte-identical texts.
 
-    The digest is computed in the same Arrow pass as the sketches, so
-    rep selection is ONE window over the fixed-width sketch frame
-    (~0.6 KB/doc on the wire) — the text column never shuffles:
-    sketching a duplicate is wasted map-side CPU, far cheaper than a
-    corpus-wide text exchange at 100 TB."""
+    The digest is computed in the same Arrow pass as the sketches — the
+    text column never shuffles: sketching a duplicate is wasted
+    map-side CPU, far cheaper than a corpus-wide text exchange at
+    100 TB.  Rep selection is a map-side-combining groupBy (one
+    ~40-byte row per UNIQUE digest on the wire) joined back onto the
+    sketch frame, NOT a min-over-window partitioned by digest (the r8
+    excision, same reasoning as keepers_from_labeled_sigs /
+    winnow_overlap_pairs): a page byte-duplicated 10^6 times is one
+    digest group, and an unbounded window would sort-and-buffer that
+    whole group's ~0.6 KB/doc sketch rows on a single task, where the
+    join's hot partitions are AQE-skew-splittable.  The sketch frame is
+    pinned (registry key "labeled_sigs") so both branches — the rep
+    aggregation and the join probe — read one Arrow scan."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    wd = W.partitionBy("digest")
-    return sigs.withColumn("rep", F.min(id_col).over(wd))
+    sigs = _persist_pinned("labeled_sigs", sigs)
+    reps = sigs.groupBy("digest").agg(F.min(id_col).alias("rep"))
+    return sigs.join(reps, "digest").select(*sigs.columns, "rep")
 
 
 def minhash_pairs_for(
@@ -1339,10 +1348,26 @@ def keepers_from_labeled_sigs(
         .join(comp, F.col("rep") == F.col("rep_id"), "left")
         .select("doc_id", F.coalesce("component", "rep").alias("component"))
     )
-    cluster_w = W.partitionBy("component")
+    # Cluster sizes via map-side-combining groupBy + join back, NOT a
+    # count-over-window partitioned by component: a boilerplate page
+    # duplicated 10^6 times is ONE component by design, and an unbounded
+    # window would buffer that entire membership on a single task in the
+    # exact job that exists to remove it.  The groupBy ships one
+    # partially-aggregated row per component; the join back streams the
+    # big side (only the single matching size row per key is buffered,
+    # and AQE skew-split still applies).  Same excision as
+    # winnow_overlap_pairs (r7) and decontamination_hits_winnow (r6);
+    # recomputing ``assigned`` for both branches is cache reads — the
+    # CC labels are localCheckpointed and ``labeled`` is pinned by every
+    # caller.
+    dup_components = (
+        assigned.groupBy("component")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)  # only clusters with an actual dup
+        .select("component")
+    )
     return (
-        assigned.withColumn("_n", F.count("*").over(cluster_w))
-        .filter(F.col("_n") >= 2)  # only docs actually in a dup cluster
+        assigned.join(dup_components, "component")
         .select(
             "doc_id",
             "component",

@@ -193,12 +193,21 @@ def embedding_near_dup_pairs(
     )
     eb = e.join(b, "vec_id").select("vec_id", "embedding", "bucket")
     if max_bucket:
-        bw = W.partitionBy("bucket")
-        eb = (
-            eb.withColumn("_n", F.count("*").over(bw))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+        # over-cap buckets via map-side-combining groupBy + anti-join,
+        # NOT count-over-window partitioned by bucket (r8 excision): a
+        # degenerate embedding cluster is ONE bucket, and an unbounded
+        # window would buffer its whole membership (vector payload
+        # included) on a single task.  The counts aggregate over the
+        # slim (vec_id, bucket) kernel output; over-cap buckets are few
+        # by definition, so Spark plans the anti-join as a broadcast
+        # when small without being forced to.
+        over_cap = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("bucket")
         )
+        eb = eb.join(over_cap, "bucket", "left_anti")
     probe_masks = [0] + [1 << i for i in range(n_planes)]
     probes = eb.select(
         F.col("vec_id"),

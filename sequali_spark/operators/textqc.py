@@ -466,6 +466,12 @@ def winnow_fingerprint_stats(
         d.filter(F.length("text") >= k)
         .select(
             "doc_id",
+            # the per-doc gram count is known BEFORE the explode — carry
+            # it as a column instead of re-deriving it afterwards with a
+            # count-over-window partitioned by doc_id (r8 excision: the
+            # ordered winnow window below is inherently per-doc, but the
+            # unordered count one was avoidable)
+            n_grams.alias("n_grams"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), n_grams),
@@ -475,13 +481,12 @@ def winnow_fingerprint_stats(
         )
     )
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    total = W.partitionBy("doc_id")
     fps = (
         grams.select(
             "doc_id",
             "pos",
             F.min("gram_hash").over(win).alias("fp"),
-            F.count("*").over(total).alias("n_grams"),
+            "n_grams",
         )
         # winnowing uses FULL windows only: the last w-1 frames are
         # partial (pos is 0-based from posexplode, hence - w not - (w-1))

@@ -337,6 +337,67 @@ def test_dedup_keepers_folds_exact_dups(spark, mega_cluster_dir):
     assert {r["doc_id"] for r in by_comp[83]} == {83, 84}
 
 
+def test_keeper_election_plan_has_no_window(spark, mega_cluster_dir):
+    """r8 excision: cluster-size gating and exact-rep selection must be
+    groupBy+join (map-side combine, AQE-skew-splittable), never an
+    unbounded window partitioned by component/digest — a 10^6-copy
+    boilerplate page is ONE partition under either key and a window
+    would buffer its full membership on a single task."""
+    plan = (
+        dedup.dedup_keepers(spark, mega_cluster_dir, threshold=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "keeper election must not use a window"
+
+
+@pytest.fixture(scope="module")
+def skewed_neardup_dir(spark, tmp_path_factory):
+    """One NEAR-dup component ≫ everything else: 64 distinct variants of
+    one page (single-word edits, pairwise shingle Jaccard ~0.97) that
+    survive exact dedup as 64 separate reps and must be merged by the
+    LSH+CC stage — the shape where the keeper election itself sees a
+    hot component, as opposed to mega_cluster_dir's byte-identical skew
+    which collapses to one rep before CC."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"{w}sk" for w in ("alpha", "beta", "gamma", "delta", "web", "page")]
+    base = [rng.choice(vocab) for _ in range(150)]
+    rows = []
+    for i in range(64):
+        v = list(base)
+        v[i % len(v)] = f"variant{i}tok"
+        rows.append((i, " ".join(v)))
+    # background: distinct docs with disjoint vocabularies
+    for j in range(20):
+        words = [f"{w}bg{j}" for w in ("red", "blue", "green", "cyan", "teal")]
+        rows.append((1000 + j, " ".join(rng.choice(words) for _ in range(100))))
+    d = tmp_path_factory.mktemp("skewed_neardup")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_keeper_election_skewed_neardup_component(spark, skewed_neardup_dir):
+    rows = dedup.dedup_keepers(spark, skewed_neardup_dir, threshold=0.8).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert 0 in by_comp, "the hot component must exist with keeper id 0"
+    hot = by_comp[0]
+    # ring edges trade pair completeness for linear volume; the hot
+    # component must still capture (nearly) all 64 variants and elect
+    # exactly one keeper
+    assert len(hot) >= 60, f"hot component captured only {len(hot)}/64"
+    assert sum(r["keep_doc"] for r in hot) == 1
+    assert next(r["doc_id"] for r in hot if r["keep_doc"]) == 0
+    # background docs never join the hot component
+    assert all(r["doc_id"] < 1000 for r in hot)
+
+
 def test_connected_components_nonconvergence_is_loud(spark):
     """A 21-node path graph needs 20 propagation rounds; at max_iter=5
     strict mode raises instead of returning split clusters."""
