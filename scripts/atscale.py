@@ -337,7 +337,14 @@ def run_curation_scaling(rows: int, ladder: tuple = (2, 8)) -> dict:
                 )
             st = json.load(open(stats))
             decisions.setdefault(cpus, (st["kept"], st["dropped"]))
-            assert decisions[cpus] == (st["kept"], st["dropped"])
+            # explicit raise, not assert: under python -O the parity
+            # gate would vanish and a diverging leg would be reported
+            # as a clean scaling result (ADVICE r7)
+            if decisions[cpus] != (st["kept"], st["dropped"]):
+                raise RuntimeError(
+                    f"cpus={cpus} re-run changed decisions: "
+                    f"{decisions[cpus]} -> {(st['kept'], st['dropped'])}"
+                )
             dps = round(rows / dt, 1)
             if cpus not in results or dps > results[cpus]["docs_per_sec"]:
                 results[cpus] = {
@@ -349,7 +356,8 @@ def run_curation_scaling(rows: int, ladder: tuple = (2, 8)) -> dict:
             subprocess.run(["rm", "-rf", local_dirs], check=False)
     # identical decisions across parallelism levels (partition-invariance)
     canon = {json.dumps(d, sort_keys=True) for d in decisions.values()}
-    assert len(canon) == 1, f"decisions diverge across configs: {decisions}"
+    if len(canon) != 1:
+        raise RuntimeError(f"decisions diverge across configs: {decisions}")
     lo, hi = min(ladder), max(ladder)
     eff = results[hi]["docs_per_sec"] / (
         (hi / lo) * results[lo]["docs_per_sec"]
@@ -593,7 +601,11 @@ def run_ann_disk(rows: int) -> dict:
         .agg(F.sum(F.length("codes")))
         .first()
     )
-    assert pruned_read <= pruned_bytes + 1_000_000, (pruned_read, pruned_bytes)
+    if pruned_read > pruned_bytes + 1_000_000:
+        raise RuntimeError(
+            f"counter-based pruned read {pruned_read} exceeds file-level "
+            f"bound {pruned_bytes}"
+        )
     t1 = time.time()
     rows_out, _ = _input_bytes_delta(
         lambda: similarity.ivfpq_topk_for(

@@ -629,13 +629,93 @@ def write_ivfpq_index(
         quantizers=quantizers,
         baseline_top1_sim=baseline_top1_sim,
     )
+    token = _quantizer_pair_token(quantizers)
+    if token is not None:
+        _write_pair_marker(codes.sparkSession, path, token)
 
 
 _IVFPQ_META_SCHEMA = (
     "residual boolean, centroids binary, centroids_shape array<int>, "
     "codebooks binary, codebooks_shape array<int>, baseline_top1_sim double, "
-    "appended_batches int"
+    "appended_batches int, pair_token string"
 )
+
+
+def _quantizer_pair_token(
+    quantizers: tuple[np.ndarray, np.ndarray] | None,
+) -> str | None:
+    """Content-derived id binding a codes dir to the quantizers that
+    encoded it: digest of the quantizer bytes, stamped both as a
+    ``_pair_token`` marker inside the data dir (write_ivfpq_index) and
+    as a sidecar column (_write_ivfpq_meta).  read_ivfpq_index refuses
+    a mismatched pair — the silent-corruption state a crash inside a
+    rebuild swap could otherwise leave (new codes decoded with stale
+    centroids/codebooks return wrong neighbors with no error)."""
+    if quantizers is None:
+        return None
+    import hashlib
+
+    cents, books = quantizers
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(cents, dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(books, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
+def _pair_marker_path(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path + "/_pair_token")
+
+
+def _write_pair_marker(spark: SparkSession, path: str, token: str) -> None:
+    """Underscore-prefixed marker file inside the parquet dir (ignored
+    by Spark's file index, same convention as _SUCCESS)."""
+    p = _pair_marker_path(spark._jvm, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _recover_parked_pair(spark: SparkSession, path: str) -> bool:
+    """Crash-between-phases recovery for the rebuild swap: a previous
+    rebuild parked the live pair under ``<path>__old`` and died before
+    promoting the staging pair, leaving the live path(s) absent (readers
+    in that window fail loudly on the missing path — nothing is
+    silently mixed).  If any live path is missing and the COMPLETE
+    parked pair exists, restore it.  Returns True when a restore
+    happened."""
+    jvm = spark._jvm
+    trash = path + "__old"
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    suffixes = ("", "_meta")
+    if all(fs.exists(_p(path + s)) for s in suffixes):
+        return False
+    if not all(fs.exists(_p(trash + s)) for s in suffixes):
+        return False
+    for s in suffixes:
+        fs.delete(_p(path + s), True)
+        fs.rename(_p(trash + s), _p(path + s))
+    return True
+
+
+def _read_pair_marker(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    p = _pair_marker_path(jvm, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None  # pre-r8 index — validation is best-effort
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("ascii")
 
 
 def _write_ivfpq_meta(
@@ -653,6 +733,7 @@ def _write_ivfpq_meta(
     silently corrupt every appended cell).  ``baseline_top1_sim`` is
     the coarse-quantizer health statistic the drift trigger compares
     against (see append_ivfpq_index)."""
+    token = _quantizer_pair_token(quantizers)
     if quantizers is not None:
         cents, books = quantizers
         row = (
@@ -663,9 +744,13 @@ def _write_ivfpq_meta(
             list(books.shape),
             baseline_top1_sim,
             appended_batches,
+            token,
         )
     else:
-        row = (residual, None, None, None, None, baseline_top1_sim, appended_batches)
+        row = (
+            residual, None, None, None, None, baseline_top1_sim,
+            appended_batches, None,
+        )
     spark.createDataFrame([row], _IVFPQ_META_SCHEMA).write.mode("overwrite").parquet(
         path + "_meta"
     )
@@ -679,6 +764,7 @@ def read_ivfpq_meta(spark: SparkSession, path: str) -> dict:
         "residual": bool(row["residual"]),
         "baseline_top1_sim": row.get("baseline_top1_sim"),
         "appended_batches": int(row.get("appended_batches") or 0),
+        "pair_token": row.get("pair_token"),
         "centroids": None,
         "codebooks": None,
     }
@@ -834,19 +920,26 @@ def rebuild_ivfpq_index(
     carried over — flipping the encoding family mid-life would change
     score semantics under every reader.
 
-    Swap discipline: the new index (and its ``_meta`` sidecar) is fully
-    written and fsync'd under ``<path>__rebuild`` first, then swapped in
-    with two directory renames (old -> ``<path>__old``, new -> live) and
-    the old copy deleted last.  Rename is atomic on HDFS and local
-    filesystems, so readers see either the complete old index or the
-    complete new one; the crash windows leave either a leftover
-    ``__rebuild`` staging dir (harmless — next rebuild overwrites) or
-    the live dir momentarily absent between the two renames (the same
-    window every overwrite-by-rename job has; front with a catalog —
-    the sources/tables.py Iceberg seam — where that window matters).
-    Object stores without atomic rename should route through the
-    catalog path instead."""
+    Swap discipline (r8, ADVICE r7): the new index and its ``_meta``
+    sidecar are fully written under ``<path>__rebuild`` first, then
+    swapped in TWO PHASES covering the pair — phase 1 renames BOTH live
+    dirs aside to ``<path>__old``, phase 2 renames BOTH staging dirs
+    live — with any failure rolling back every rename already made, in
+    both phases.  Individual renames are atomic on HDFS and local
+    filesystems but the pair swap is not one operation, so the possible
+    crash windows are: a leftover ``__rebuild`` staging dir (harmless —
+    next rebuild overwrites), or one/both live paths momentarily ABSENT
+    with the complete old pair intact under ``__old`` (readers fail
+    LOUDLY on the missing path; the next rebuild auto-restores the
+    ``__old`` pair before proceeding).  No window leaves new codes live
+    beside old quantizers silently: beyond the ordering, the pair is
+    stamped with a content-derived ``pair_token`` (digest of the
+    quantizer bytes) written both as a ``_pair_token`` marker inside
+    the data dir and as a sidecar column, and read_ivfpq_index refuses
+    a mismatched pair.  Object stores without atomic rename should
+    route through the catalog path instead."""
     spark = embeddings.sparkSession
+    _recover_parked_pair(spark, path)
     old = read_ivfpq_meta(spark, path)
     if n_centroids is None:
         if old["centroids"] is None:
@@ -888,16 +981,31 @@ def rebuild_ivfpq_index(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     trash = path + "__old"
-    for suffix in ("", "_meta"):
-        fs.delete(_p(trash + suffix), True)
-        if not fs.rename(_p(path + suffix), _p(trash + suffix)):
-            raise IOError(f"rename {path + suffix} -> {trash + suffix} failed")
-        if not fs.rename(_p(staging + suffix), _p(path + suffix)):
-            # roll the old index back so the live path never dangles
-            fs.rename(_p(trash + suffix), _p(path + suffix))
-            raise IOError(f"rename {staging + suffix} -> {path + suffix} failed")
-    for suffix in ("", "_meta"):
-        fs.delete(_p(trash + suffix), True)
+    suffixes = ("", "_meta")
+    done: list[tuple[str, str]] = []  # (src, dst) renames to undo on failure
+
+    def _mv(src: str, dst: str) -> None:
+        if not fs.rename(_p(src), _p(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
+        done.append((src, dst))
+
+    try:
+        # phase 1: park BOTH live dirs, then phase 2: promote BOTH
+        # staging dirs — never interleave per-suffix, so a failure can
+        # roll back the whole pair and no state mixes old meta with new
+        # data (ADVICE r7)
+        for s in suffixes:
+            fs.delete(_p(trash + s), True)
+        for s in suffixes:
+            _mv(path + s, trash + s)
+        for s in suffixes:
+            _mv(staging + s, path + s)
+    except Exception:
+        for src, dst in reversed(done):
+            fs.rename(_p(dst), _p(src))
+        raise
+    for s in suffixes:
+        fs.delete(_p(trash + s), True)
     # parquet footer/partition caches may still describe the old files
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(path + "_meta")
@@ -923,8 +1031,26 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
     type-inferred (int) — recast to long — and the residual marker is
     restored from the index's own ``<path>_meta`` sidecar (never from
     a caller's guess: a wrong re-stamp would silently pass the
-    mismatch guard and corrupt scores)."""
-    flag = spark.read.parquet(path + "_meta").first()["residual"]
+    mismatch guard and corrupt scores).
+
+    Pair validation (r8): when both the data dir's ``_pair_token``
+    marker and the sidecar's ``pair_token`` are present they must
+    match — a mismatch means the codes were encoded by different
+    quantizers than the sidecar carries (a torn rebuild swap, or a
+    manual half-restore) and decoding would return silently wrong
+    neighbors.  Pre-r8 indexes carry neither and skip the check."""
+    row = spark.read.parquet(path + "_meta").first().asDict()
+    flag = row["residual"]
+    sidecar_token = row.get("pair_token")
+    marker = _read_pair_marker(spark, path)
+    if sidecar_token is not None and marker is not None and sidecar_token != marker:
+        raise IOError(
+            f"index pair mismatch at {path}: data dir was encoded under "
+            f"pair_token {marker} but the sidecar carries {sidecar_token} "
+            "— torn rebuild swap or half-restore; restore the matching "
+            "pair (the rebuild parks the previous one under "
+            f"{path}__old) before reading"
+        )
     df = spark.read.parquet(path).select(
         "vec_id", F.col("centroid").cast("long").alias("centroid"), "codes"
     )

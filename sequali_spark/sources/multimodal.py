@@ -344,11 +344,38 @@ def _opaque_features(payload: bytes) -> np.ndarray:
     return hist / max(len(arr), 1)
 
 
-def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
+def jpeg_coefficient_budget() -> int | None:
+    """Deployment override for the stdlib-JPEG decode envelope
+    (ADVICE r7): the adversarial-safe default MAX_JPEG_COEFFICIENTS
+    caps honest decodes at ~1.85 Mpx (4:2:0), silently degrading every
+    larger photo to the opaque path.  A deployment that owns its corpus
+    sets ``SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS`` to an integer or to
+    ``relaxed`` (the r6 envelope, ~16 Mpx / tens of seconds worst-case
+    per hostile image); unset keeps the hostile-input default.
+    Resolved on the DRIVER (decode_features closes over the value) so a
+    real cluster doesn't depend on executor-side env propagation."""
+    import os
+
+    v = os.environ.get("SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS", "").strip()
+    if not v:
+        return None
+    if v.lower() == "relaxed":
+        from sequali_spark.sources.jpeg import MAX_JPEG_COEFFICIENTS_RELAXED
+
+        return MAX_JPEG_COEFFICIENTS_RELAXED
+    return int(v)
+
+
+def decode_payload(
+    payload: bytes, max_jpeg_coefficients: int | None = None
+) -> tuple[str, np.ndarray]:
     """Sniff the magic, decode, extract features: (codec, features).
     Mirrors the reference's format sniff + graceful degrade
     (util.py:113-123): a corrupt or unknown payload falls back to the
-    opaque histogram rather than raising."""
+    opaque histogram rather than raising.  ``max_jpeg_coefficients``
+    widens the stdlib JPEG decoder's wall-clock envelope (None = the
+    adversarial-safe jpeg.MAX_JPEG_COEFFICIENTS default; see
+    jpeg_coefficient_budget for the env knob)."""
 
     try:
         if payload[:2] == b"BM":
@@ -380,7 +407,9 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
                 return "pil", image_features(img)
             from sequali_spark.sources.jpeg import decode_jpeg_baseline
 
-            return "jpeg-baseline", image_features(decode_jpeg_baseline(payload))
+            return "jpeg-baseline", image_features(
+                decode_jpeg_baseline(payload, max_jpeg_coefficients)
+            )
     # _DECODE_ERRORS: OSError covers PIL's UnidentifiedImageError and
     # truncated-file reads; MemoryError covers hostile dims that slip
     # past a decoder's own bounds; DecompressionBombError when PIL is
@@ -391,10 +420,18 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
     return "opaque", _opaque_features(payload)
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(
+    media: DataFrame, max_jpeg_coefficients: int | None = None
+) -> DataFrame:
     """binary payload -> (codec, float feature vector), one Arrow stage:
     real BMP/WAV decode + feature kernels, opaque fallback for unknown
-    formats (see decode_payload)."""
+    formats (see decode_payload).  ``max_jpeg_coefficients`` (default:
+    the SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS env knob, else the
+    adversarial-safe jpeg.py default) is resolved here on the driver
+    and closed over, so the envelope is a per-job decision, not an
+    executor-env accident."""
+    if max_jpeg_coefficients is None:
+        max_jpeg_coefficients = jpeg_coefficient_budget()
     schema = (
         "media_id string, kind string, n_bytes long, digest string, "
         "codec string, features array<float>"
@@ -403,7 +440,7 @@ def decode_features(media: DataFrame) -> DataFrame:
     def _batches(it):
         for pdf in it:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            decoded = [decode_payload(p) for p in payloads]
+            decoded = [decode_payload(p, max_jpeg_coefficients) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

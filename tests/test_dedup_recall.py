@@ -948,6 +948,86 @@ def test_ivfpq_rebuild_restores_recall_after_drift(spark, tmp_path):
     assert not rep3["retrain_recommended"], rep3
 
 
+def test_ivfpq_rebuild_crash_windows(spark, tmp_path):
+    """The rebuild swap's documented crash windows, simulated
+    (VERDICT r7 #6 + ADVICE r7 pair-atomicity):
+
+    1. a stale ``__rebuild`` staging pair from an earlier crash is
+       overwritten cleanly and the rebuilt index reads back whole;
+    2. a crash BETWEEN swap phases (live pair parked under ``__old``,
+       nothing live) is auto-restored by the next rebuild;
+    3. a torn pair — new codes beside an old sidecar — is REFUSED at
+       read via the content-derived pair token, instead of decoding
+       new codes with stale quantizers and returning wrong neighbors.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from sequali_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(23)
+
+    def _corpus(seed, id_base=0, n=160):
+        r = np.random.RandomState(seed)
+        centers = r.randn(4, 64)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        for i in range(n):
+            v = centers[i % 4] + 0.05 * r.randn(64)
+            v /= np.linalg.norm(v)
+            rows.append((id_base + i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, schema="vec_id long, embedding array<float>"
+        )
+
+    def _build(e, path):
+        cents = sim.kmeans_centroids(e, n_centroids=4, n_iter=2)
+        books = sim.pq_train_residual(e, cents, n_sample=200, n_iter=4)
+        sim.write_ivfpq_index(
+            sim.ivfpq_encode(e, cents, books),
+            path,
+            quantizers=(cents, books),
+            baseline_top1_sim=sim.mean_top1_centroid_sim(e, cents),
+        )
+
+    e = _corpus(1)
+    path = str(tmp_path / "idx")
+    _build(e, path)
+
+    # (1) stale staging leftovers must not derail a rebuild
+    os.makedirs(path + "__rebuild/junkdir", exist_ok=True)
+    open(path + "__rebuild/garbage", "w").write("stale crash leftovers")
+    os.makedirs(path + "__rebuild_meta", exist_ok=True)
+    open(path + "__rebuild_meta/garbage", "w").write("stale")
+    report = sim.rebuild_ivfpq_index(e, path, kmeans_iter=3)
+    assert report["n_vectors"] == 160
+    assert sim.read_ivfpq_index(spark, path).count() == 160
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers
+
+    # (2) crash between phases: live pair parked, nothing live —
+    # the next rebuild restores the parked pair and completes
+    shutil.move(path, path + "__old")
+    shutil.move(path + "_meta", path + "__old_meta")
+    report2 = sim.rebuild_ivfpq_index(e, path, kmeans_iter=2)
+    assert report2["n_vectors"] == 160
+    assert sim.read_ivfpq_index(spark, path).count() == 160
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers
+
+    # (3) torn pair: codes dir from an index trained on a DIFFERENT
+    # corpus beside this sidecar -> read must refuse, loudly
+    other = str(tmp_path / "other")
+    _build(_corpus(2, id_base=10_000), other)
+    shutil.rmtree(path)
+    shutil.copytree(other, path)
+    spark.catalog.refreshByPath(path)
+    with pytest.raises(Exception, match="pair mismatch"):
+        sim.read_ivfpq_index(spark, path)
+
+
 def test_pinned_sketch_reuse_and_refresh(spark, tmp_path):
     """The sketch-cache registry must REUSE the pinned frame when the
     same query is reconstructed over unchanged input (r6: the re-pin

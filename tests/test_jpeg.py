@@ -241,3 +241,35 @@ def test_decode_features_stage_tags_jpeg(spark):
     # environments (this container has no PIL -> 'jpeg-baseline')
     assert got["j1"] in ("jpeg-baseline", "pil")
     assert got["o1"] == "opaque"
+
+
+def test_decode_payload_plumbs_coefficient_envelope(monkeypatch):
+    """ADVICE r7: the pipeline path must expose the decode envelope —
+    with the default budget a too-large JPEG soft-degrades to 'opaque',
+    and max_jpeg_coefficients (or the SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS
+    env knob) widens it so deployments that own their corpus keep
+    decoding larger photos."""
+    from sequali_spark.sources import jpeg as J
+    from sequali_spark.sources import multimodal as M
+
+    if M.HAVE_PIL:
+        pytest.skip("PIL path bypasses the stdlib decoder's budget")
+
+    payload = J.encode_jpeg_baseline(_gradient(64, 64))
+    assert M.decode_payload(payload)[0] == "jpeg-baseline"
+    # shrink the DEFAULT so the honest image trips the gate: the
+    # pipeline default now degrades it to opaque...
+    monkeypatch.setattr(J, "MAX_JPEG_COEFFICIENTS", 64)
+    assert M.decode_payload(payload)[0] == "opaque"
+    # ...and the plumbed knob restores the decode
+    assert M.decode_payload(payload, max_jpeg_coefficients=10_000_000)[0] == (
+        "jpeg-baseline"
+    )
+
+    # env-knob resolution (driver-side, see decode_features)
+    monkeypatch.setenv("SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS", "relaxed")
+    assert M.jpeg_coefficient_budget() == J.MAX_JPEG_COEFFICIENTS_RELAXED
+    monkeypatch.setenv("SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS", "123456")
+    assert M.jpeg_coefficient_budget() == 123456
+    monkeypatch.delenv("SEQUALI_SPARK_JPEG_MAX_COEFFICIENTS")
+    assert M.jpeg_coefficient_budget() is None

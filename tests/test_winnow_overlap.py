@@ -101,4 +101,8 @@ def test_winnow_overlap_plan_has_no_window(spark):
         .toString()
     )
     assert "Window" not in plan, "skew guard must not be a count-over-window"
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the hot-set guard is an anti-join with NO forced broadcast hint
+    # (ADVICE r7: a template-heavy corpus can push millions of
+    # fingerprints over the cap); AQE picks broadcast at runtime when
+    # the measured hot set is small, shuffle anti-join when it is not
+    assert "LeftAnti" in plan, "hot-fingerprint guard must be an anti-join"
