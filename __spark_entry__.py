@@ -379,7 +379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_per_source_deviation": textqc.per_source_deviation,
         "doc_top_per_source": textqc.top_doc_per_source,
         "doc_deterministic_sample": textqc.deterministic_sample,
-        "doc_length_percentiles": textqc.length_percentiles_exact,
+        # r8 single-slot rotation (VERDICT r7 task 3): A16's log
+        # re-binning gets its first driver row; doc_length_percentiles
+        # (green r1-r7) rotates to overflow — A14 keeps doc_n50_report
+        # in-window and the operator stays mirror-swept.  The other 49
+        # slots are byte-identical to the r7 window.
+        "doc_log_length_histogram": textqc.log_length_histogram,
         "doc_token_count_bpeish": textqc.token_count_bpeish,
         "doc_type_token_ratio": textqc.type_token_ratio,
         "doc_n50_report": textqc.n50_report,
@@ -432,7 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_label_vote": similarity.knn_label_vote,
         # ============ block 2: overflow oracle-backed siblings ============
         "doc_length_cumdist": textqc.length_cumdist,
-        "doc_log_length_histogram": textqc.log_length_histogram,
+        # r8: rotated out for doc_log_length_histogram (see block 1)
+        "doc_length_percentiles": textqc.length_percentiles_exact,
         # r7: rotated out for doc_alpha_ratio_histogram (see block 1)
         "events_type_daily_pivot": events.event_type_hourly_pivot,
         "doc_bottom_decile": textqc.bottom_decile_by_source,

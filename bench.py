@@ -326,24 +326,9 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark.stop()
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
-    # COMPACT headline result — this dict is the bench's final stdout
-    # line and must stay well under the driver's ~2000-char tail capture
-    # (BENCH_r06.json had parsed:null because the per-sample forensics
-    # outgrew it — VERDICT r6 #1).  The full noise forensics (every
-    # sample, pre-run busy fraction, per-sample steal, the load-gate
-    # attempt trace) go to BENCH/last_run.json instead.
-    compact = {
-        "metric": "headline_queries_total_sec",
-        "value": round(sum(per_query.values()), 3),
-        "unit": "sec",
-        "queries": per_query,
-        "sf": sf,
-        "pipeline_docs_per_sec": round(n / pipe_sec, 1),
-        "pipeline_rows": n,
-        "cpus": cpus,
-        "load_gated": gate["gated"],
-        "load_avg_1m": round(os.getloadavg()[0], 2),
-    }
+    compact = build_compact_result(
+        per_query, sf, n, pipe_sec, cpus, gate["gated"]
+    )
     forensics = {
         **compact,
         # noise forensics (VERDICT r4 What's-wrong #2): all samples per
@@ -368,6 +353,33 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
         json.dump(forensics, f, indent=1)
     return compact
+
+
+def build_compact_result(
+    per_query: dict, sf, pipeline_rows: int, pipe_sec: float, cpus: int,
+    load_gated: bool,
+) -> dict:
+    """COMPACT headline result — this dict is the bench's final stdout
+    line and must stay well under the driver's ~2000-char tail capture
+    (BENCH_r06.json had parsed:null because the per-sample forensics
+    outgrew it — VERDICT r6 #1).  The full noise forensics (every
+    sample, pre-run busy fraction, per-sample steal, the load-gate
+    attempt trace) go to BENCH/last_run.json instead.  Factored out so
+    tests/test_bench_contract.py can pin the serialized size and
+    round-trip on a synthetic result — the r6 failure mode was silent
+    (VERDICT r7 task 4)."""
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "pipeline_docs_per_sec": round(pipeline_rows / pipe_sec, 1),
+        "pipeline_rows": pipeline_rows,
+        "cpus": cpus,
+        "load_gated": load_gated,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }
 
 
 def run_old_protocol(sf_dir: str, cpus: int, names: list[str]) -> dict:

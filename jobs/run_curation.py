@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -239,6 +240,18 @@ def main() -> None:
     from sequali_spark.session import get_spark
 
     spark = get_spark(app_name="sequali_curation")
+    walls: dict[str, float] = {}
+    t_last = time.time()
+
+    def _mark(phase: str) -> None:
+        # per-phase wall breakdown, recorded in the stats JSON — the
+        # evidence base for the scaling-ladder tail analysis (r8): each
+        # mark closes the phase since the previous one
+        nonlocal t_last
+        now = time.time()
+        walls[phase] = round(now - t_last, 2)
+        t_last = now
+
     probes = None
     if args.probes:
         # project + type-pin the external benchmark table: extra columns
@@ -264,6 +277,7 @@ def main() -> None:
     )
 
     manifest_rows = _manifest(args, probes, docs)
+    _mark("fingerprint_scan")  # content_fingerprint materializes docs
     resumed = (not args.force) and stage_is_reusable(
         spark, dec_path, man_path, manifest_rows, MANIFEST_SCHEMA
     )
@@ -271,7 +285,7 @@ def main() -> None:
         # delete-manifest-first: a crash mid-recompute must never leave
         # the previous manifest matching freshly-overwritten decisions
         invalidate_stage_manifest(spark, man_path)
-        curate(
+        decisions_df = curate(
             spark,
             args.input,
             dedup_threshold=args.dedup_threshold,
@@ -279,7 +293,12 @@ def main() -> None:
             probes=probes,
             docs=docs,
             decon_path=args.decon_path,
-        ).write.mode("overwrite").parquet(dec_path)
+        )
+        # the eager portion of curate(): sketch-pin materialization,
+        # LSH candidate stage, CC rounds, keeper pins
+        _mark("curate_eager_tail")
+        decisions_df.write.mode("overwrite").parquet(dec_path)
+        _mark("decisions_write")
         write_stage_manifest(spark, man_path, manifest_rows, MANIFEST_SCHEMA)
     decisions = spark.read.parquet(dec_path).persist()
 
@@ -287,6 +306,7 @@ def main() -> None:
         decisions.filter("keep").select("doc_id"), "doc_id"
     )
     curated.write.mode("overwrite").parquet(args.output)
+    _mark("curated_write")
 
     stats_rows = decisions.groupBy("drop_reason").agg(F.count("*").alias("docs")).collect()
     stats = {
@@ -297,6 +317,8 @@ def main() -> None:
         },
         "resumed_from_checkpoint": resumed,
     }
+    _mark("stats_collect")
+    stats["phase_walls_sec"] = walls
     decisions.unpersist()
     docs.unpersist()
     if args.stats:

@@ -1321,7 +1321,15 @@ def connected_components(
                 # join lineage) — by ~20 rounds the plan alone OOMs the
                 # driver. Checkpointing truncates lineage each round, the
                 # standard discipline for iterative algorithms on Spark.
-                .localCheckpoint(eager=True)
+                #
+                # eager=False + the count below = ONE job per round (r8,
+                # the curation-tail fusion): the convergence count is the
+                # action that materializes the lazy checkpoint, instead of
+                # an eager checkpoint job followed by a second count job
+                # over the cache.  Rounds are the serial, driver-paced
+                # part of the whole dedup tail, so halving their job
+                # count cuts fixed scheduling wall directly.
+                .localCheckpoint(eager=False)
             )
             changed = updated.filter("_changed").count()
             labels = updated.drop("_changed")

@@ -1,12 +1,13 @@
 """Pin the driver-judged 50-query prefix of ``queries()``.
 
-Round-7 single-slot rotation (VERDICT r6 task 5): slot 28 swaps
-events_type_daily_pivot (green r4-r6; A17 keeps events_hourly_report
-in-window and events_type_totals in the mirror-swept overflow) for
-doc_alpha_ratio_histogram — A4, the binning row judged only from prior
-rounds.  The other 49 slots are byte-identical to the r6 window, so
-CORRECTNESS_r07 diffs against r06 in exactly one key.  (r6 rotation:
-doc_length_histogram out, doc_decontaminate_winnow in.)
+Round-8 single-slot rotation (VERDICT r7 task 3): slot 11 swaps
+doc_length_percentiles (green r1-r7; A14 keeps doc_n50_report
+in-window) for doc_log_length_histogram — A16's log re-binning,
+judged only via the mirror until now.  The other 49 slots are
+byte-identical to the r7 window, so CORRECTNESS_r08 diffs against r07
+in exactly one key.  (r7 rotation: events_type_daily_pivot out,
+doc_alpha_ratio_histogram in; r6: doc_length_histogram out,
+doc_decontaminate_winnow in.)
 
 The driver checks exactly the FIRST 50 entries.  CORRECTNESS_r01-r03
 judged the pre-rotation prefix; the prefix pinned here (rotated in
@@ -40,7 +41,7 @@ EXPECTED_PREFIX = [
     "doc_per_source_deviation",
     "doc_top_per_source",
     "doc_deterministic_sample",
-    "doc_length_percentiles",
+    "doc_log_length_histogram",
     "doc_token_count_bpeish",
     "doc_type_token_ratio",
     "doc_n50_report",
@@ -86,7 +87,9 @@ EXPECTED_PREFIX = [
 # multi-round-green siblings; operators stay pinned by the parity mirror).
 EXPECTED_OVERFLOW = {
     "doc_length_cumdist",
-    "doc_log_length_histogram",
+    # r8 single-slot rotation: doc_length_percentiles (green r1-r7)
+    # out, doc_log_length_histogram (A16) in
+    "doc_length_percentiles",
     # r7 single-slot rotation: events_type_daily_pivot (green r4-r6)
     # out, doc_alpha_ratio_histogram (A4) in
     "events_type_daily_pivot",
