@@ -186,14 +186,18 @@ def _probes_fingerprint(probes: DataFrame | None) -> str:
 def _manifest(args, probes: DataFrame | None, docs: DataFrame) -> list[tuple]:
     """One-row fingerprint of everything that determines the decision
     table; a checkpoint is only reusable if it matches the invocation.
-    The input documents are fingerprinted by CONTENT, not just path
-    (same rationale — and the same (doc_id, text) fingerprint — as
-    run_dedup.py's signature-stage manifest, ADVICE r4): an in-place
-    rewrite of <input>/documents.parquet between runs must invalidate
-    the decision table, or stale doc_ids would silently join against
-    the new corpus.  The fingerprint scan is id+text only, far cheaper
-    than the three corpus passes it guards."""
-    from sequali_spark.runtime.checkpoint import content_fingerprint
+    The input documents are fingerprinted by their backing FILE LISTING
+    (path, length, mtime — runtime.checkpoint.file_fingerprint): an
+    in-place rewrite of <input>/documents.parquet between runs must
+    invalidate the decision table, or stale doc_ids would silently join
+    against the new corpus, and parquet part-files are immutable so any
+    legitimate rewrite changes the listing (same trust model as the
+    sketch-pin fingerprint, ADVICE r4 rationale preserved).  r8: this
+    replaced the content scan — a full id+text pass that ran serially
+    before any parallel stage (5.8-7.3 s at 500k rows regardless of
+    cores, pure Amdahl tail in the scaling ladder); file_fingerprint
+    falls back to the content scan for non-file-backed frames."""
+    from sequali_spark.runtime.checkpoint import file_fingerprint
 
     return [
         (
@@ -202,7 +206,7 @@ def _manifest(args, probes: DataFrame | None, docs: DataFrame) -> list[tuple]:
             int(args.min_gates),
             args.probes or "",
             _probes_fingerprint(probes),
-            content_fingerprint(docs, "doc_id", "text"),
+            file_fingerprint(docs, "doc_id", "text"),
         )
     ]
 
@@ -239,8 +243,9 @@ def main() -> None:
     from sequali_spark.operators import textqc
     from sequali_spark.session import get_spark
 
+    t_main0 = time.time()
     spark = get_spark(app_name="sequali_curation")
-    walls: dict[str, float] = {}
+    walls: dict[str, float] = {"session_init": round(time.time() - t_main0, 2)}
     t_last = time.time()
 
     def _mark(phase: str) -> None:
@@ -319,6 +324,9 @@ def main() -> None:
     }
     _mark("stats_collect")
     stats["phase_walls_sec"] = walls
+    from sequali_spark.operators import dedup as _dedup
+
+    stats["dedup_stage_walls_sec"] = dict(_dedup.STAGE_WALLS)
     decisions.unpersist()
     docs.unpersist()
     if args.stats:

@@ -15,11 +15,11 @@ Stage layout (the resume story):
            exact-dup digest + 64-perm minhash + band keys per doc,
            written to <output>_sigs with a one-row manifest of the
            producing invocation.  The manifest fingerprints the INPUT
-           BY CONTENT (row count + order-independent exact sum of
-           (doc_id, text) row hashes — one scan, still far cheaper
-           than the sketch pass it guards), not just by path — any
-           in-place rewrite of ids OR text forces a re-sketch instead
-           of silently deduplicating stale signatures.  The sketch is
+           by its backing file listing (path, length, mtime — parquet
+           part-files are immutable, so any in-place rewrite of ids OR
+           text changes the listing; zero data scanned) and forces a
+           re-sketch instead of silently deduplicating stale
+           signatures.  The sketch is
            threshold-INDEPENDENT, so re-running with a different
            --threshold reuses stage 1 and recomputes only stage 2.
   stage 2  EDGES + CLUSTERS (cheap relative to the text scan):
@@ -60,7 +60,7 @@ def main() -> None:
 
     from sequali_spark.operators import dedup
     from sequali_spark.runtime.checkpoint import (
-        content_fingerprint,
+        file_fingerprint,
         invalidate_stage_manifest,
         stage_is_reusable,
         write_stage_manifest,
@@ -72,12 +72,14 @@ def main() -> None:
 
     sigs_path = args.output.rstrip("/") + "_sigs"
     man_path = sigs_path + "_manifest"
-    # fingerprint BOTH id and text: signatures are a function of the
-    # text, so an in-place refresh that keeps ids but changes text must
-    # invalidate them.  This is a full id+text scan — still far cheaper
-    # than the sketch pass it guards (same scan plus per-doc CPU).
-    fp = content_fingerprint(docs, "doc_id", "text")
-    n_docs = int(fp.split(":")[0])
+    # fingerprint the backing file listing (path, length, mtime): an
+    # in-place refresh that keeps ids but changes text rewrites parquet
+    # part-files, so the listing invalidates (r8: replaced the full
+    # id+text content scan — a serial pre-stage pass; see
+    # runtime.checkpoint.file_fingerprint).  The row count for stats
+    # comes from parquet footer metadata, not a data scan.
+    fp = file_fingerprint(docs, "doc_id", "text")
+    n_docs = docs.count()
     manifest_rows = [(args.input, dedup.N_MINHASH, dedup.LSH_BANDS, n_docs, fp)]
     resumed_sigs = (not args.force) and stage_is_reusable(
         spark, sigs_path, man_path, manifest_rows, SIGS_MANIFEST_SCHEMA
@@ -89,10 +91,6 @@ def main() -> None:
         dedup.exact_rep_labeled_sigs(docs.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(sigs_path)
-        # the sketch pin only existed to share one Arrow scan between
-        # the rep aggregation and the join probe above; the parquet
-        # checkpoint now owns the data
-        dedup._release_prior_cache("labeled_sigs")
         write_stage_manifest(spark, man_path, manifest_rows, SIGS_MANIFEST_SCHEMA)
     labeled = spark.read.parquet(sigs_path)
 

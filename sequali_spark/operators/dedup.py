@@ -64,6 +64,12 @@ from sequali_spark.session import spread_for_python as _spread_for_python
 _CACHED: dict[str, DataFrame] = {}
 _CACHED_FP: dict[str, tuple] = {}
 
+# Wall-clock of the EAGER stages inside the dedup chain, keyed by stage
+# name — refreshed per dedup_keepers run (cleared at entry) so jobs can
+# surface a sub-stage breakdown in their stats JSON (the r8 curation
+# scaling-ladder evidence).  Observability only: never read by logic.
+STAGE_WALLS: dict[str, float] = {}
+
 
 def _release_prior_cache(key: str) -> None:
     prev = _CACHED.pop(key, None)
@@ -281,7 +287,11 @@ def _persist_pinned(
         # pin would send the next identical call down the reuse path
         # and hand every downstream consumer an unpinned frame — the
         # exact duplicate-stage pathology the eager write prevents.
+        import time as _time
+
+        _t0 = _time.time()
         df.write.format("noop").mode("overwrite").save()
+        STAGE_WALLS[f"pin_{key}"] = round(_time.time() - _t0, 2)
         if fingerprint is not None:
             _CACHED_FP[key] = fingerprint
     finally:
@@ -595,12 +605,18 @@ def exact_rep_labeled_sigs(
     winnow_overlap_pairs): a page byte-duplicated 10^6 times is one
     digest group, and an unbounded window would sort-and-buffer that
     whole group's ~0.6 KB/doc sketch rows on a single task, where the
-    join's hot partitions are AQE-skew-splittable.  The sketch frame is
-    pinned (registry key "labeled_sigs") so both branches — the rep
-    aggregation and the join probe — read one Arrow scan."""
+    join's hot partitions are AQE-skew-splittable.  The rep aggregation
+    reads its digests from a SECOND, pure-JVM scan of ``docs`` (F.md5
+    in _with_digest — whole-stage codegen, no Arrow stage), so the
+    expensive Python sketch scan still runs exactly once, as the join
+    probe; callers that pass a persisted docs frame (jobs, curate) make
+    the digest branch a cache read."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    sigs = _persist_pinned("labeled_sigs", sigs)
-    reps = sigs.groupBy("digest").agg(F.min(id_col).alias("rep"))
+    reps = (
+        _with_digest(docs, id_col, text_col)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("rep"))
+    )
     return sigs.join(reps, "digest").select(*sigs.columns, "rep")
 
 
@@ -1266,6 +1282,7 @@ def connected_components(
     bool} — the rounds-to-convergence evidence an at-scale run records
     (rounds = graph diameter of the dup clusters).
     """
+    import time as _time
     import warnings
     # Materialize the INPUT once before the union below embeds it twice.
     # ``pairs`` is typically the expensive LSH-verify chain; the
@@ -1292,7 +1309,10 @@ def connected_components(
     # writes used to precede the try and an OOM there leaked them for
     # the session's lifetime)
     try:
+        _t0 = _time.time()
         pairs.write.format("noop").mode("overwrite").save()
+        STAGE_WALLS["cc_pairs_materialize"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
@@ -1335,6 +1355,8 @@ def connected_components(
             labels = updated.drop("_changed")
             if changed == 0:
                 break
+        STAGE_WALLS["cc_rounds"] = round(_time.time() - _t0, 2)
+        STAGE_WALLS["cc_nrounds"] = rounds
         if stats is not None:
             stats["rounds"] = rounds
             stats["converged"] = changed == 0
@@ -1378,6 +1400,7 @@ def dedup_keepers(
     (jobs/run_curation.py) share one scan across operators."""
     if docs is None:
         docs = load(spark, sf_dir, "documents")
+    STAGE_WALLS.clear()
     _release_prior_cache("keepers")
     labeled = exact_rep_labeled_sigs(docs).persist()
     _CACHED["keepers"] = labeled

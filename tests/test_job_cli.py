@@ -120,8 +120,11 @@ def test_curation_job_cli(spark, sf_dir, tmp_path):
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     stats2 = json.load(open(stats2_path))
     assert stats2["resumed_from_checkpoint"] is True
-    assert {k: v for k, v in stats2.items() if k != "resumed_from_checkpoint"} == {
-        k: v for k, v in stats.items() if k != "resumed_from_checkpoint"
+    # compare the SEMANTIC stats; the wall-clock observability fields
+    # (phase_walls_sec, dedup_stage_walls_sec) differ by construction
+    skip = {"resumed_from_checkpoint", "phase_walls_sec", "dedup_stage_walls_sec"}
+    assert {k: v for k, v in stats2.items() if k not in skip} == {
+        k: v for k, v in stats.items() if k not in skip
     }
 
     # changed parameters invalidate the checkpoint: a --min-gates 3 run
@@ -587,7 +590,8 @@ def test_curation_cli_winnow_decon_path_matches_broadcast(spark, tmp_path):
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         stats[path_mode] = json.load(open(stats_path))
-        stats[path_mode].pop("resumed_from_checkpoint")
+        for k in ("resumed_from_checkpoint", "phase_walls_sec", "dedup_stage_walls_sec"):
+            stats[path_mode].pop(k, None)
     assert stats["broadcast"] == stats["winnow"]
     assert stats["winnow"]["dropped"].get("contaminated") == 2
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "curated_winnow")).collect()}
