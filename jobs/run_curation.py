@@ -267,8 +267,14 @@ def main() -> None:
             F.col("probe").cast("string").alias("probe"),
         )
     # ONE materialized scan shared by the gate battery, the dedup
-    # sketch pass, the decontamination join, and the final output join
-    docs = textqc.load(spark, args.input, "documents").persist()
+    # sketch pass, the decontamination join, and the final output join.
+    # The manifest fingerprint MUST read the file listing BEFORE
+    # persist(): registering the cache substitutes an InMemoryRelation
+    # into every matching plan, after which inputFiles() is empty and
+    # file_fingerprint would fall back to the full content scan the r8
+    # change exists to avoid (measured: the fallback silently re-added
+    # the 6-7 s serial pre-stage pass).
+    docs = textqc.load(spark, args.input, "documents")
 
     dec_path = args.output.rstrip("/") + "_decisions"
     man_path = dec_path + "_manifest"
@@ -282,7 +288,8 @@ def main() -> None:
     )
 
     manifest_rows = _manifest(args, probes, docs)
-    _mark("fingerprint_scan")  # content_fingerprint materializes docs
+    docs = docs.persist()
+    _mark("fingerprint_scan")  # file-listing stat, no data scan
     resumed = (not args.force) and stage_is_reusable(
         spark, dec_path, man_path, manifest_rows, MANIFEST_SCHEMA
     )

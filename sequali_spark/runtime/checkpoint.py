@@ -57,6 +57,12 @@ def file_fingerprint(df: DataFrame, *cols: str) -> str:
     when the frame is not file-backed (createDataFrame, cached views) —
     there is no listing to trust, so the scan is the honest price.
 
+    ORDERING TRAP: call this BEFORE df.persist().  Registering a cache
+    substitutes an InMemoryRelation into every plan that matches the
+    cached one, after which inputFiles() returns [] and this function
+    silently takes the content-scan fallback (correct, but it re-adds
+    the serial scan this exists to remove).
+
     Motivation (r8 curation-ladder breakdown): the content fingerprint
     was a full id+text scan that ran SERIALLY before any parallel
     stage — 5.8-7.3 s at 500k rows regardless of core count, pure

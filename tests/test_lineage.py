@@ -184,3 +184,37 @@ def test_force_rerun_replaces_unit_output(spark, pages, tmp_path):
     # against the input rather than asserting url uniqueness)
     assert after.count() == changed.count()
     assert n_target_before > len(keep_urls)  # the replacement actually shrank it
+
+
+def test_file_fingerprint_listing_path_and_fallback(spark, tmp_path):
+    """file_fingerprint (r8): file-backed frames fingerprint from the
+    (path, length, mtime) listing with no data scan; a rewrite — even
+    same row content — changes it; non-file-backed frames fall back to
+    the content scan; and the persist() ordering trap takes the
+    fallback (still correct, just slower)."""
+    from sequali_spark.runtime.checkpoint import file_fingerprint
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "cast(id as string) as s").write.parquet(p)
+    df = spark.read.parquet(p)
+    fp1 = file_fingerprint(df, "id", "s")
+    assert fp1.startswith("files:")
+    assert file_fingerprint(spark.read.parquet(p), "id", "s") == fp1
+
+    # in-place rewrite (identical rows) -> listing changes -> invalidates
+    spark.range(100).selectExpr("id", "cast(id as string) as s").write.mode(
+        "overwrite"
+    ).parquet(p)
+    fp2 = file_fingerprint(spark.read.parquet(p), "id", "s")
+    assert fp2.startswith("files:") and fp2 != fp1
+
+    # non-file-backed -> content fallback (rowcount:hashsum format)
+    mem = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert not file_fingerprint(mem, "id", "s").startswith("files:")
+
+    # the ordering trap: a registered cache hides the file scan
+    cached = spark.read.parquet(p).persist()
+    try:
+        assert not file_fingerprint(cached, "id", "s").startswith("files:")
+    finally:
+        cached.unpersist()
