@@ -598,26 +598,39 @@ def exact_rep_labeled_sigs(
     The digest is computed in the same Arrow pass as the sketches — the
     text column never shuffles: sketching a duplicate is wasted
     map-side CPU, far cheaper than a corpus-wide text exchange at
-    100 TB.  Rep selection is a map-side-combining groupBy (one
-    ~40-byte row per UNIQUE digest on the wire) joined back onto the
-    sketch frame, NOT a min-over-window partitioned by digest (the r8
-    excision, same reasoning as keepers_from_labeled_sigs /
-    winnow_overlap_pairs): a page byte-duplicated 10^6 times is one
-    digest group, and an unbounded window would sort-and-buffer that
-    whole group's ~0.6 KB/doc sketch rows on a single task, where the
-    join's hot partitions are AQE-skew-splittable.  The rep aggregation
-    reads its digests from a SECOND, pure-JVM scan of ``docs`` (F.md5
-    in _with_digest — whole-stage codegen, no Arrow stage), so the
-    expensive Python sketch scan still runs exactly once, as the join
-    probe; callers that pass a persisted docs frame (jobs, curate) make
-    the digest branch a cache read."""
+    100 TB.
+
+    Rep selection (r8, twice-measured):
+
+    - NOT a min-over-window partitioned by digest (the r7 shape): a
+      page byte-duplicated 10^6 times is one digest group, and an
+      unbounded window sort-and-buffers that whole group's ~0.6 KB/doc
+      sketch rows on one task — the skew class every other guard in
+      this file was rewritten to avoid.
+    - NOT a digest-keyed join back onto the sketch frame either (the
+      first r8 attempt): sort-merge on digest re-SORTS the full sketch
+      frame while the Python sketch workers hold the same cores —
+      measured at 2M/local[8] it more than doubled the sketch-stage
+      wall (BENCH/ATSCALE.md r8).
+
+    Instead every digest operation runs on a SLIM (id, digest) frame
+    from a second pure-JVM md5 scan (~50 B/row, whole-stage codegen):
+    groupBy(digest).min(id) gives one rep per unique digest, a
+    shuffle-hash join labels each slim row, and the result attaches to
+    the sketch frame by doc_id — a UNIQUE key, so that exchange has
+    zero skew and, with the shuffle-hash hint, zero big-side sort (the
+    build side is the slim rep map).  The sketch frame is exchanged
+    exactly once, unsorted — strictly less big-frame work than the
+    window version, with the mega-dup skew isolated to 50-byte rows."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    reps = (
-        _with_digest(docs, id_col, text_col)
-        .groupBy("digest")
-        .agg(F.min(id_col).alias("rep"))
+    digests = _with_digest(docs, id_col, text_col).select(id_col, "digest")
+    reps = digests.groupBy("digest").agg(F.min(id_col).alias("rep"))
+    rep_map = digests.join(reps.hint("shuffle_hash"), "digest").select(
+        id_col, "rep"
     )
-    return sigs.join(reps, "digest").select(*sigs.columns, "rep")
+    return sigs.join(rep_map.hint("shuffle_hash"), id_col).select(
+        *sigs.columns, "rep"
+    )
 
 
 def minhash_pairs_for(

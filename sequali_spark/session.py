@@ -43,6 +43,25 @@ def get_spark(
         # parallelism-first sizing; on a real cluster executors own
         # their pools and the advisory knob can be revisited per-job.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split granularity for Python-heavy stages (r8, measured
+        # at 2M docs / local[8]): the default 128 MB splits turned a
+        # 900 MB corpus into 10 tasks of ~200k docs each — the bare
+        # minhash mapInPandas stage took 341 s (per-doc throughput
+        # DEGRADES inside long Arrow tasks: 8 concurrent Python workers
+        # over ~230 MB text slices contend for memory bandwidth, and a
+        # 10-task stage on 8 cores is one wave plus stragglers).  16 MB
+        # splits -> 65 tasks -> 245 s, near-linear with the 500k
+        # datapoint, AND the finer granularity load-balances both legs
+        # of the scaling ladder (the 10-task shape scaled 2->8 at ~0.35
+        # because the 8-core leg ran one ragged wave).  Smaller splits
+        # cost only scheduler overhead (~ms/task); at cluster scale
+        # this knob is per-job, but the engine's hot stages are
+        # Arrow-bound, so the Python-friendly size is the right
+        # default.  SPARK_GRAFT_MAX_PARTITION_BYTES overrides.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
