@@ -15,6 +15,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Scan-split size for Arrow-bound stages; see the inline rationale at the
+# config site in get_spark.  Overridable per-deployment.
+DEFAULT_MAX_PARTITION_BYTES = 16 * 1024 * 1024
+
+
+def max_partition_bytes() -> str:
+    """Resolve the scan-split size: SPARK_GRAFT_MAX_PARTITION_BYTES if
+    set, else the Arrow-stage-sized 16 MB default."""
+    return os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(DEFAULT_MAX_PARTITION_BYTES)
+    )
+
 
 def get_spark(
     app_name: str = "sequali_spark",
@@ -58,10 +70,7 @@ def get_spark(
         # this knob is per-job, but the engine's hot stages are
         # Arrow-bound, so the Python-friendly size is the right
         # default.  SPARK_GRAFT_MAX_PARTITION_BYTES overrides.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
-        )
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -71,3 +71,26 @@ def test_compact_line_has_no_forensics_keys():
         "load_gate",
     }
     assert not forbidden & set(compact)
+
+
+def test_scan_split_default_pins_arrow_sized_splits(monkeypatch):
+    """The 16 MB maxPartitionBytes default is a measured perf guard
+    (2M docs / local[8]: bare minhash Arrow stage 341 s at 128 MB
+    splits vs 245 s at 16 MB — see session.py rationale); pin it and
+    its override so a config refactor can't silently regress it."""
+    from sequali_spark.session import (
+        DEFAULT_MAX_PARTITION_BYTES,
+        max_partition_bytes,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    assert DEFAULT_MAX_PARTITION_BYTES == 16 * 1024 * 1024
+    assert max_partition_bytes() == str(16 * 1024 * 1024)
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+    assert max_partition_bytes() == "134217728"
+
+
+def test_live_session_wires_scan_split_default(spark):
+    assert (
+        spark.conf.get("spark.sql.files.maxPartitionBytes") == "16777216"
+    )
