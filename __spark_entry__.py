@@ -451,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_priority": relational.order_priority_counts,
         # r6: rotated out for doc_decontaminate_winnow (see block 1)
         "doc_length_histogram": textqc.length_histogram,
+        # r8 addition: CCNet/MassiveText paragraph-level dedup +
+        # reconstruction (mirror-swept this round; window candidate r9)
+        "doc_paragraph_dedup": dedup.paragraph_dedup_docs,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -802,6 +805,41 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(0, CAST(greatest(ceil(duration_ms / 1000.0), 1) AS BIGINT) - 1)) AS i) g
             WHERE k = 2
             ORDER BY media_id, frame_idx
+        """,
+        "doc_paragraph_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(range(len(string_split(text, ' ')))) AS i
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, CAST(i // 20 AS INT) AS pid,
+                       string_agg(w, ' ' ORDER BY i) AS para
+                FROM words GROUP BY doc_id, i // 20
+            ), firsts AS (
+                -- integer first-occurrence key: pid < 2^20 holds for any
+                -- document under ~20M words at 20 words/paragraph (the
+                -- Spark side uses min(struct) with no bound at all)
+                SELECT para, min(doc_id * 1048576 + pid) AS fk
+                FROM paras GROUP BY para
+            ), survivors AS (
+                SELECT CAST(fk // 1048576 AS BIGINT) AS doc_id,
+                       CAST(fk % 1048576 AS INT) AS pid, para
+                FROM firsts
+            ), recon AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                       string_agg(para, ' ' ORDER BY pid) AS text_dedup
+                FROM survivors GROUP BY doc_id
+            ), stats AS (
+                SELECT doc_id,
+                       CAST((len(string_split(text, ' ')) + 19) // 20 AS INT) AS n_paras
+                FROM documents
+            )
+            SELECT s.doc_id, s.n_paras,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.text_dedup, '') AS text_dedup
+            FROM stats s LEFT JOIN recon r USING (doc_id)
+            ORDER BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

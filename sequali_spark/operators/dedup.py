@@ -56,6 +56,84 @@ def fingerprint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup with document
+    reconstruction — the CCNet/MassiveText pre-training pass: split
+    each document into paragraphs, keep only the FIRST occurrence of
+    each distinct paragraph corpus-wide, and re-assemble the surviving
+    text per document.  Reference lineage: DedupEstimator's
+    whole-record fingerprint dedup (_qcmodule.c:4238-4802) pushed
+    below document granularity.
+
+    This corpus is single-line word soup (no ``\\n``), so "paragraph"
+    is the deterministic proxy both engines can agree on byte-for-byte:
+    consecutive ``words_per_para``-word windows of the space-split
+    text.  First occurrence = lexicographic min of (doc_id, pid).
+
+    Scale shape (100 TB): the election is ONE map-side-combining
+    groupBy on the paragraph text — a boilerplate paragraph duplicated
+    10^8 times collapses to one row per map task before the exchange —
+    and the survivor set needs NO join back to the exploded frame (the
+    argmin carries its (doc_id, pid) through the aggregate, so the
+    classic hot-key join-back skew never exists).  Reconstruction
+    shuffles only survivors, keyed by doc_id; per-doc paragraph counts
+    come from ``size()`` pre-explode, zero extra shuffles.  No Window
+    nodes anywhere (tests/test_paragraph_dedup.py pins this).
+
+    Output: (doc_id, n_paras, n_kept, text_dedup), one row per input
+    document; fully-duplicated documents survive with n_kept = 0 and
+    text_dedup = ''.
+    """
+    wpp = int(words_per_para)
+    if wpp < 1:
+        raise ValueError(f"words_per_para must be >= 1, got {words_per_para}")
+    # JVM-side segmentation: no per-word explode, one projection.
+    seg = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform("
+            f"  sequence(0, cast(ceil(size(split(text, ' ')) / {wpp}.0) as int) - 1),"
+            f"  i -> array_join(slice(split(text, ' '), i * {wpp} + 1, {wpp}), ' '))"
+        ).alias("paras"),
+    )
+    stats = seg.select("doc_id", F.size("paras").alias("n_paras"))
+    paras = seg.select("doc_id", F.posexplode("paras").alias("pid", "para"))
+    firsts = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pid")).alias("first")
+    )
+    survivors = firsts.select(
+        F.col("first.doc_id").alias("doc_id"),
+        F.col("first.pid").alias("pid"),
+        "para",
+    )
+    recon = survivors.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pid", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        stats.join(recon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: paragraph-level dedup + reconstruction over the
+    documents table (20-word paragraphs)."""
+    return paragraph_dedup(load(spark, sf_dir, "documents"), words_per_para=20)
+
+
 from sequali_spark.session import spread_for_python as _spread_for_python
 
 # cache registry: each operator family keeps at most ONE persisted

@@ -104,6 +104,9 @@ EXPECTED_OVERFLOW = {
     # r6 single-slot rotation: doc_length_histogram (green r1-r5) out,
     # doc_decontaminate_winnow (the only oracle with no driver row) in
     "doc_length_histogram",
+    # r8 addition: paragraph-level dedup + reconstruction — new oracle,
+    # mirror-swept this round, window-rotation candidate for r9
+    "doc_paragraph_dedup",
 }
 
 
@@ -132,8 +135,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 78
-    assert len(entry_mod.oracle_sql()) == 62
+    assert len(entry_mod.queries()) == 79
+    assert len(entry_mod.oracle_sql()) == 63
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
