@@ -734,13 +734,156 @@ def run_ring_recall(rows: int) -> dict:
     return out
 
 
+def _paragraph_leg(docs_dir: str, stats_path: str) -> None:
+    """One paragraph-dedup leg in a fresh interpreter (subprocess
+    target): run the operator end-to-end, reduce the result to
+    order-independent invariants (counts + a bit_xor row digest, so
+    legs at different parallelism can be compared exactly without
+    materializing the rewritten corpus twice), and record walls +
+    shuffle bytes."""
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators.dedup import paragraph_dedup
+    from sequali_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="atscale_paragraph",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    t0 = time.time()
+    out = paragraph_dedup(docs, words_per_para=20)
+    agg = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_paras").alias("paras"),
+        F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") < F.col("n_paras")).cast("long")).alias("modified"),
+        F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied"),
+        F.bit_xor(
+            F.xxhash64(F.col("doc_id").cast("string"), "text_dedup")
+        ).alias("xor_digest"),
+    ).collect()[0]
+    wall = time.time() - t0
+    shuffle_total, shuffle_peak = _shuffle_bytes(spark)
+    spark.stop()
+    with open(stats_path, "w") as f:
+        json.dump(
+            {
+                "wall_sec": round(wall, 1),
+                "docs": agg["docs"],
+                "paras": agg["paras"],
+                "kept_paras": agg["kept"],
+                "modified_docs": agg["modified"],
+                "emptied_docs": agg["emptied"],
+                "xor_digest": agg["xor_digest"],
+                "shuffle_write_bytes_total": shuffle_total,
+                "shuffle_write_bytes_peak_stage": shuffle_peak,
+            },
+            f,
+        )
+
+
+def run_paragraph(rows: int, ladder: tuple = (2, 8)) -> dict:
+    """Paragraph-level dedup + reconstruction at --rows documents, run
+    at two parallelism levels (the in-sandbox mirror of the north
+    rule's two-cluster-size criterion): fresh subprocess per leg,
+    attempts interleaved round-robin across configs (hypervisor noise
+    correlates over minutes), best-of per leg, 16 GB on every leg so
+    cores are the only scaled resource, and the legs' result
+    invariants (counts + xor row digest) must match exactly — an
+    explicit raise, never assert (python -O would erase the gate)."""
+    from bench import ensure_pages_parquet
+
+    from sequali_spark.session import get_spark
+
+    src = ensure_pages_parquet(rows)
+    docs_dir = f"/tmp/sequali_atscale_docs_{rows}"
+    if not os.path.exists(os.path.join(docs_dir, "documents.parquet", "_SUCCESS")):
+        spark = get_spark(app_name="atscale_prep")
+        _docs_from_pages(spark, src).write.mode("overwrite").parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        )
+        spark.stop()
+
+    results: dict[int, dict] = {}
+    parity: dict[int, tuple] = {}
+    for attempt in range(2):
+        for cpus in ladder:
+            stats = f"/tmp/atscale_paragraph_{rows}_{cpus}.json"
+            local_dirs = f"/tmp/atscale_paragraph_local_{rows}_{cpus}"
+            subprocess.run(["rm", "-rf", stats, local_dirs], check=False)
+            env = dict(
+                os.environ,
+                PYTHONPATH=REPO,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_DRIVER_MEM="16g",
+                SPARK_LOCAL_DIRS=local_dirs,
+            )
+            env.pop("SPARK_GRAFT_SHUFFLE", None)
+            t0 = time.time()
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import sys; sys.path.insert(0, %r); "
+                    "from scripts.atscale import _paragraph_leg; "
+                    "_paragraph_leg(%r, %r)" % (REPO, docs_dir, stats),
+                ],
+                cwd=REPO,
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            dt = time.time() - t0
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"paragraph leg cpus={cpus} failed:\n" + proc.stderr[-3000:]
+                )
+            st = json.load(open(stats))
+            inv = (
+                st["docs"], st["paras"], st["kept_paras"],
+                st["modified_docs"], st["emptied_docs"], st["xor_digest"],
+            )
+            parity.setdefault(cpus, inv)
+            if parity[cpus] != inv:
+                raise RuntimeError(
+                    f"cpus={cpus} re-run changed results: {parity[cpus]} -> {inv}"
+                )
+            dps = round(rows / st["wall_sec"], 1)
+            if cpus not in results or dps > results[cpus]["docs_per_sec"]:
+                results[cpus] = {
+                    "cpus": cpus,
+                    "op_wall_sec": st["wall_sec"],
+                    "leg_wall_sec": round(dt, 1),
+                    "docs_per_sec": dps,
+                    "modified_docs": st["modified_docs"],
+                    "emptied_docs": st["emptied_docs"],
+                    "shuffle_write_bytes_total": st["shuffle_write_bytes_total"],
+                    "shuffle_write_bytes_peak_stage": st["shuffle_write_bytes_peak_stage"],
+                }
+            subprocess.run(["rm", "-rf", local_dirs], check=False)
+    canon = set(parity.values())
+    if len(canon) != 1:
+        raise RuntimeError(f"results diverge across configs: {parity}")
+    lo, hi = min(ladder), max(ladder)
+    eff = results[hi]["docs_per_sec"] / ((hi / lo) * results[lo]["docs_per_sec"])
+    return {
+        "rows": rows,
+        "ladder": {str(c): results[c] for c in ladder},
+        "scaling_efficiency": round(eff, 3),
+        "from_to": f"local[{lo}] -> local[{hi}]",
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument(
         "--mode",
-        choices=["dedup", "curation", "curation-scaling", "ann", "ann-disk",
-                 "ring-recall", "all"],
+        choices=["dedup", "curation", "curation-scaling", "paragraph", "ann",
+                 "ann-disk", "ring-recall", "all"],
         default="all",
     )
     args = ap.parse_args()
@@ -755,6 +898,9 @@ def main() -> None:
     if args.mode == "curation-scaling":  # long ladder; not part of "all"
         results["curation_scaling"] = run_curation_scaling(args.rows)
         print(json.dumps({"curation_scaling": results["curation_scaling"]}))
+    if args.mode == "paragraph":  # ladder; not part of "all"
+        results["paragraph_dedup"] = run_paragraph(args.rows)
+        print(json.dumps({"paragraph_dedup": results["paragraph_dedup"]}))
     if args.mode == "ann":  # separate corpus; not part of "all"
         results["ann"] = run_ann(args.rows)
         print(json.dumps({"ann": results["ann"]}))

@@ -94,6 +94,33 @@ def test_plan_has_no_window_node(spark):
     assert "Window" not in plan, "election must be groupBy argmin, not a window"
 
 
+def test_plan_evaluates_split_exactly_once(spark):
+    """Perf pin for the two measured optimizer traps (50k docs,
+    local[8]: 26.7s -> 1.5s): (1) split() must stay a standalone
+    projection referenced by the transform lambda — inlined, it
+    re-evaluates per paragraph; (2) the generator must be the OUTER
+    posexplode — the non-outer form makes InferFiltersFromGenerate
+    push a filter that inlines the whole segmentation below the
+    projection.  Both regressions show up as split( inlined inside the
+    transform lambda (next to slice() on the same plan line) or inside
+    a Filter node; the healthy plan keeps every split( in a standalone
+    `Project [... split(...) AS words]` (one per DAG fork — the stats
+    branch and the paras branch each scan once)."""
+    df = _docs(spark, [(0, "a b c d e f"), (1, "g h i")])
+    plan = (
+        paragraph_dedup(df, words_per_para=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_split = 0
+    for line in plan.splitlines():
+        if "split(" in line:
+            n_split += 1
+            assert "slice(" not in line, "split inlined into the lambda"
+            assert "Filter" not in line, "split inlined into an inferred filter"
+            assert "AS words" in line, "split must feed the words projection"
+    assert n_split == 2  # one hoisted projection per DAG fork
+
+
 def test_words_per_para_validated(spark):
     with pytest.raises(ValueError):
         paragraph_dedup(_docs(spark, [(0, "a")]), words_per_para=0)
