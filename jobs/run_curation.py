@@ -233,6 +233,16 @@ def main() -> None:
         help="recompute the decision table even if a checkpointed one exists",
     )
     ap.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="after the keep/drop decisions, rewrite the KEPT corpus with "
+        "corpus-wide paragraph-level dedup (CCNet/MassiveText pass, "
+        "operators.dedup.paragraph_dedup): each distinct 20-word paragraph "
+        "survives only at its first occurrence; documents whose every "
+        "paragraph was seen earlier are dropped from the curated output "
+        "(counted separately in stats — the decision table and its "
+        "checkpoint are NOT affected by this flag)",
+    )
+    ap.add_argument(
         "--decon-path", choices=["auto", "broadcast", "winnow"], default="auto",
         help="decontamination plan: broadcast contains() theta-join, winnowed-"
         "fingerprint equi-join, or auto (winnow once the probe table exceeds "
@@ -317,7 +327,45 @@ def main() -> None:
     curated = docs.join(
         decisions.filter("keep").select("doc_id"), "doc_id"
     )
+    para_stats = None
+    if args.paragraph_dedup:
+        # Sub-document pass over the SURVIVING corpus only (running it
+        # before the gates would let dropped duplicates claim first
+        # occurrence of paragraphs that then vanish with their doc).
+        # Downstream of the decision checkpoint by design: decisions
+        # stay reusable across flag settings, and the rewrite is a
+        # deterministic function of (decisions, corpus).
+        from sequali_spark.operators.dedup import paragraph_dedup
+
+        rewritten = paragraph_dedup(curated, words_per_para=20).persist()
+        agg = rewritten.agg(
+            F.sum("n_paras").alias("paras"),
+            F.sum("n_kept").alias("kept_paras"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied_docs"),
+        ).collect()[0]
+        para_stats = {
+            "paragraphs": agg["paras"],
+            "paragraphs_kept": agg["kept_paras"],
+            "docs_emptied": agg["emptied_docs"],
+        }
+        # emptied docs leave the corpus; survivors carry the rewritten
+        # text with n_chars recomputed from it — same columns, same
+        # order as the unflagged output
+        out_cols = [
+            F.length("_text_dedup").alias("n_chars") if c == "n_chars"
+            else F.col("_text_dedup").alias("text") if c == "text"
+            else F.col(c)
+            for c in curated.columns
+        ]
+        curated = curated.drop("text").join(
+            rewritten.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("text_dedup").alias("_text_dedup")
+            ),
+            "doc_id",
+        ).select(*out_cols)
     curated.write.mode("overwrite").parquet(args.output)
+    if para_stats is not None:
+        rewritten.unpersist()
     _mark("curated_write")
 
     stats_rows = decisions.groupBy("drop_reason").agg(F.count("*").alias("docs")).collect()
@@ -329,6 +377,8 @@ def main() -> None:
         },
         "resumed_from_checkpoint": resumed,
     }
+    if para_stats is not None:
+        stats["paragraph_dedup"] = para_stats
     _mark("stats_collect")
     stats["phase_walls_sec"] = walls
     from sequali_spark.operators import dedup as _dedup

@@ -145,6 +145,59 @@ def test_curation_job_cli(spark, sf_dir, tmp_path):
     assert stats3["kept"] >= stats["kept"]
 
 
+def test_curation_cli_paragraph_dedup(spark, sf_dir, tmp_path):
+    """--paragraph-dedup rewrites the KEPT corpus with the corpus-wide
+    paragraph pass: the curated output must equal paragraph_dedup
+    applied directly to the kept docs (minus emptied ones), keep the
+    unflagged schema and column order with n_chars recomputed, leave
+    the decision stats untouched, and report the paragraph stats."""
+    out = str(tmp_path / "curated_pd")
+    base_out = str(tmp_path / "curated_plain")
+    stats_path = str(tmp_path / "stats_pd.json")
+    base_stats_path = str(tmp_path / "stats_plain.json")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    for flags, o, s in [
+        ([], base_out, base_stats_path),
+        (["--paragraph-dedup"], out, stats_path),
+    ]:
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_curation.py",
+                "--input", sf_dir, "--output", o, "--stats", s, "--force",
+            ] + flags,
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.load(open(stats_path))
+    base = json.load(open(base_stats_path))
+    # decisions identical: the flag is downstream of the decision table
+    assert (stats["kept"], stats["dropped"]) == (base["kept"], base["dropped"])
+    ps = stats["paragraph_dedup"]
+    assert ps["paragraphs"] >= ps["paragraphs_kept"] > 0
+    assert "paragraph_dedup" not in base
+
+    plain = spark.read.parquet(base_out)
+    curated = spark.read.parquet(out)
+    assert curated.columns == plain.columns  # schema + order fidelity
+    assert curated.count() == stats["kept"] - ps["docs_emptied"]
+
+    # cross-check against the operator applied directly to the kept set
+    from pyspark.sql import functions as F
+
+    from sequali_spark.operators.dedup import paragraph_dedup
+
+    expected = paragraph_dedup(plain, words_per_para=20).filter(
+        F.col("n_kept") > 0
+    )
+    assert expected.count() == curated.count()
+    joined = curated.join(
+        expected.select("doc_id", "text_dedup"), "doc_id"
+    )
+    assert joined.count() == curated.count()
+    assert joined.filter("text != text_dedup").count() == 0
+    assert curated.filter("n_chars != length(text)").count() == 0
+
+
 def test_curation_cli_external_probes(spark, tmp_path):
     """--probes parquet flows through projection/type-pinning into the
     contamination join: a marker probe drops exactly the docs carrying
