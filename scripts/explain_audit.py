@@ -26,6 +26,7 @@ AUDITED = [
     "emb_brute_force_topk",
     "rel_top_unshipped",
     "winnow_overlap_pairs",
+    "doc_paragraph_dedup",
 ]
 
 HEADER = """# PLANS — physical-plan audit of the headline queries
@@ -71,6 +72,16 @@ What to look for, per query:
   repartition(fp) exchange that AQE's stage cache reuses — verified via
   the status API (exactly one stage with inputRecords > 0); the
   compile-time tree prints 4 MapInPandas nodes, runtime runs 1.
+- **doc_paragraph_dedup** (r8) — split() appears ONLY in standalone
+  `Project [... AS words]` nodes (one per DAG fork), never inlined
+  beside slice() in the transform lambda or inside a Filter (the two
+  measured optimizer traps, 18x: lambda-invariant re-evaluation and
+  InferFiltersFromGenerate pushing the segmentation below the
+  projection — hence the OUTER posexplode); the first-occurrence
+  election is a partial/final `HashAggregate` pair on the paragraph
+  text whose min(struct) carries (doc_id, pid) through — NO join back
+  to the exploded frame and NO Window node; reconstruction is an
+  `ObjectHashAggregate` over survivors keyed by doc_id.
 """
 
 

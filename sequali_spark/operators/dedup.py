@@ -113,12 +113,22 @@ def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
     )
     stats = seg.select("doc_id", F.size("paras").alias("n_paras"))
     paras = seg.select("doc_id", F.posexplode_outer("paras").alias("pid", "para"))
-    firsts = paras.groupBy("para").agg(
-        F.min(F.struct("doc_id", "pid")).alias("first")
-    )
+    # Third optimizer trap (plan-audited r8): min(struct(doc_id, pid))
+    # compiles to a SortAggregate — struct buffers are not
+    # HashAggregate-mutable, so the election SORTS the full paragraph
+    # text corpus on both sides of the exchange.  A decimal(38)
+    # ordering key IS HashAggregate-mutable (16-byte fixed width), and
+    # doc_id * 10^10 + pid is order-isomorphic to (doc_id, pid) for
+    # any bigint doc_id (incl. negative) while pid < 10^10 — a 200
+    # billion-word document before the encoding saturates, with no
+    # bigint overflow possible (29 < 38 digits).
+    fk = F.col("doc_id").cast("decimal(19,0)") * F.lit(
+        10_000_000_000
+    ).cast("decimal(11,0)") + F.col("pid")
+    firsts = paras.groupBy("para").agg(F.min(fk).alias("fk"))
     survivors = firsts.select(
-        F.col("first.doc_id").alias("doc_id"),
-        F.col("first.pid").alias("pid"),
+        F.floor(F.col("fk") / 10_000_000_000).cast("bigint").alias("doc_id"),
+        F.pmod(F.col("fk"), F.lit(10_000_000_000)).cast("int").alias("pid"),
         "para",
     )
     recon = survivors.groupBy("doc_id").agg(
