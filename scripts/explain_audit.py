@@ -79,9 +79,15 @@ What to look for, per query:
   InferFiltersFromGenerate pushing the segmentation below the
   projection — hence the OUTER posexplode); the first-occurrence
   election is a partial/final `HashAggregate` pair on the paragraph
-  text whose min(struct) carries (doc_id, pid) through — NO join back
-  to the exploded frame and NO Window node; reconstruction is an
-  `ObjectHashAggregate` over survivors keyed by doc_id.
+  text over min(decimal(38) key = doc_id*10^10 + pid) — trap 3:
+  min(struct) compiles to a SortAggregate that sorts the paragraph
+  corpus on both sides of the exchange, so NO SortAggregate, NO Sort
+  feeding an aggregate, NO join back to the exploded frame and NO
+  Window node; reconstruction is an `ObjectHashAggregate` over
+  survivors keyed by doc_id, and the driver entry's trailing global
+  Sort is absent from the bare operator (job consumers are
+  order-insensitive; the sort would range-exchange the full
+  reconstructed text).
 """
 
 

@@ -141,22 +141,27 @@ def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
-    return (
-        stats.join(recon, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_paras",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-        )
-        .orderBy("doc_id")
+    # NO trailing orderBy here: a global sort would range-exchange the
+    # full reconstructed text a second time, and every job-side consumer
+    # (curation --paragraph-dedup aggregates and joins it) is
+    # order-insensitive.  The driver entry below adds the sort the
+    # oracle comparison wants.
+    return stats.join(recon, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 
 def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: paragraph-level dedup + reconstruction over the
-    documents table (20-word paragraphs)."""
-    return paragraph_dedup(load(spark, sf_dir, "documents"), words_per_para=20)
+    documents table (20-word paragraphs); sorted for row-order parity
+    with the SQL oracle (the sort lives HERE, not in the operator —
+    see the operator's closing comment)."""
+    return paragraph_dedup(
+        load(spark, sf_dir, "documents"), words_per_para=20
+    ).orderBy("doc_id")
 
 
 from sequali_spark.session import spread_for_python as _spread_for_python
@@ -724,9 +729,19 @@ def exact_rep_labeled_sigs(
     zero skew and, with the shuffle-hash hint, zero big-side sort (the
     build side is the slim rep map).  The sketch frame is exchanged
     exactly once, unsorted — strictly less big-frame work than the
-    window version, with the mega-dup skew isolated to 50-byte rows."""
+    window version, with the mega-dup skew isolated to 50-byte rows.
+
+    The slim frame is registry-persisted (r8 review): it feeds BOTH the
+    rep election and the rep_map join, and the two subtrees have
+    different exchange children so ReuseExchange cannot merge them —
+    unpersisted, the text would be scanned and md5'd twice more per
+    materialization (three text scans total instead of the sketch pass
+    plus one)."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     digests = _with_digest(docs, id_col, text_col).select(id_col, "digest")
+    _release_prior_cache("rep_digests")
+    digests = digests.persist()
+    _CACHED["rep_digests"] = digests
     reps = digests.groupBy("digest").agg(F.min(id_col).alias("rep"))
     rep_map = digests.join(reps.hint("shuffle_hash"), "digest").select(
         id_col, "rep"

@@ -191,6 +191,16 @@ def embedding_near_dup_pairs(
     b = e.select("vec_id", "embedding").mapInPandas(
         _bucketize_kernel(planes), schema="vec_id long, bucket long"
     )
+    # registry-persist the slim (vec_id, bucket) kernel output (r8
+    # review): it feeds the over-cap counts AND both legs of the
+    # self-join through eb — unpersisted, the Python bucketize kernel
+    # re-runs over the full embeddings table once per subtree (the
+    # exchanges differ, so ReuseExchange cannot merge them)
+    from sequali_spark.operators.dedup import _CACHED, _release_prior_cache
+
+    _release_prior_cache("emb_buckets")
+    b = b.persist()
+    _CACHED["emb_buckets"] = b
     eb = e.join(b, "vec_id").select("vec_id", "embedding", "bucket")
     if max_bucket:
         # over-cap buckets via map-side-combining groupBy + anti-join,
@@ -680,12 +690,24 @@ def _write_pair_marker(spark: SparkSession, path: str, token: str) -> None:
 
 def _recover_parked_pair(spark: SparkSession, path: str) -> bool:
     """Crash-between-phases recovery for the rebuild swap: a previous
-    rebuild parked the live pair under ``<path>__old`` and died before
-    promoting the staging pair, leaving the live path(s) absent (readers
-    in that window fail loudly on the missing path — nothing is
-    silently mixed).  If any live path is missing and the COMPLETE
-    parked pair exists, restore it.  Returns True when a restore
-    happened."""
+    rebuild parked the live pair under ``<path>__old`` and died,
+    leaving live path(s) absent (readers in that window fail loudly on
+    the missing path — nothing is silently mixed).  Returns True when
+    a restore happened.
+
+    Two distinguishable crash states (r8 review hardening):
+
+    - COMPLETE parked pair: the crash happened after phase 1 (both
+      parked) — possibly mid-phase 2, so a live half may already hold
+      NEW-generation data.  Restore the whole old pair, deleting any
+      live halves first: the parked pair is the last consistent state.
+    - PARTIAL parked pair: the crash happened mid-phase 1 (one half
+      parked, the other still live — both OLD generation by
+      construction, since phase 2 only starts after both parks).
+      Restore just the missing half per-suffix.  Before this case was
+      handled, the next rebuild's pre-swap trash delete destroyed the
+      only copy of the parked half and every subsequent rebuild failed
+      at the park rename — permanently wedged."""
     jvm = spark._jvm
     trash = path + "__old"
 
@@ -696,12 +718,17 @@ def _recover_parked_pair(spark: SparkSession, path: str) -> bool:
     suffixes = ("", "_meta")
     if all(fs.exists(_p(path + s)) for s in suffixes):
         return False
-    if not all(fs.exists(_p(trash + s)) for s in suffixes):
-        return False
+    if all(fs.exists(_p(trash + s)) for s in suffixes):
+        for s in suffixes:
+            fs.delete(_p(path + s), True)
+            fs.rename(_p(trash + s), _p(path + s))
+        return True
+    restored = False
     for s in suffixes:
-        fs.delete(_p(path + s), True)
-        fs.rename(_p(trash + s), _p(path + s))
-    return True
+        if not fs.exists(_p(path + s)) and fs.exists(_p(trash + s)):
+            fs.rename(_p(trash + s), _p(path + s))
+            restored = True
+    return restored
 
 
 def _read_pair_marker(spark: SparkSession, path: str) -> str | None:

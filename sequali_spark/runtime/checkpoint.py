@@ -74,8 +74,17 @@ def file_fingerprint(df: DataFrame, *cols: str) -> str:
         return content_fingerprint(df, *cols)
     from sequali_spark.operators.dedup import _batched_file_stats
 
+    try:
+        stats = _batched_file_stats(df.sparkSession, files)
+    except Exception:
+        # a part-file deleted/replaced between inputFiles() and the
+        # stat (concurrent compaction, retention cleaner) must not
+        # kill the job before it does any work — degrade to the scan,
+        # the same posture as the sketch-pin fingerprint
+        # (operators/dedup._cache_fingerprint)
+        return content_fingerprint(df, *cols)
     h = hashlib.blake2b(digest_size=16)
-    for f, length, mtime in _batched_file_stats(df.sparkSession, files):
+    for f, length, mtime in stats:
         h.update(f"{f}|{length}|{mtime};".encode())
     h.update("|".join(cols).encode())
     return f"files:{len(files)}:{h.hexdigest()}"

@@ -1017,6 +1017,26 @@ def test_ivfpq_rebuild_crash_windows(spark, tmp_path):
     leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
     assert leftovers == [], leftovers
 
+    # (2b) HALF-parked pair (crash mid-phase-1: data parked, meta
+    # still live — both old generation).  Before the r8 per-suffix
+    # recovery, the next rebuild's pre-swap trash delete destroyed the
+    # only copy of the parked half and the swap then failed at the
+    # park rename forever.
+    shutil.move(path, path + "__old")  # data parked, meta live
+    report2b = sim.rebuild_ivfpq_index(e, path, kmeans_iter=2)
+    assert report2b["n_vectors"] == 160
+    assert sim.read_ivfpq_index(spark, path).count() == 160
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers
+
+    # (2c) the mirror half: meta parked, data live
+    shutil.move(path + "_meta", path + "__old_meta")
+    report2c = sim.rebuild_ivfpq_index(e, path, kmeans_iter=2)
+    assert report2c["n_vectors"] == 160
+    assert sim.read_ivfpq_index(spark, path).count() == 160
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers
+
     # (3) torn pair: codes dir from an index trained on a DIFFERENT
     # corpus beside this sidecar -> read must refuse, loudly
     other = str(tmp_path / "other")
