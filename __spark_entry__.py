@@ -454,6 +454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 addition: CCNet/MassiveText paragraph-level dedup +
         # reconstruction (mirror-swept this round; window candidate r9)
         "doc_paragraph_dedup": dedup.paragraph_dedup_docs,
+        # r8 additions: Gopher/MassiveText quality-filter structure rules
+        # (mirror-swept; window-rotation candidates for r9)
+        "doc_gopher_line_stats": textqc.gopher_line_stats,
+        "doc_dup_line_chars": textqc.dup_line_chars,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -840,6 +844,38 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN recon r USING (doc_id)
             ORDER BY doc_id
+        """,
+        "doc_gopher_line_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(text, ' ') AS words,
+                     length(text) - length(replace(text, '...', '')) AS dot_chars,
+                     length(text) - length(regexp_replace(text, '[#]', '', 'g')) AS hashes
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(floor(10000.0 * len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•'))) / len(lines)) AS BIGINT) AS bullet_line_bps,
+                   CAST(floor(10000.0 * len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) / len(lines)) AS BIGINT) AS ellipsis_line_bps,
+                   CAST(floor(10000.0 * len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / len(words)) AS BIGINT) AS alpha_word_bps,
+                   CAST(floor(10000.0 * (hashes + dot_chars // 3) / len(words)) AS BIGINT) AS symbol_word_bps
+            FROM t ORDER BY doc_id
+        """,
+        "doc_dup_line_chars": """
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents WHERE length(text) > 0
+            ), g AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS len
+              FROM l WHERE length(line) > 0 GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(sum(len * c) AS BIGINT) AS line_chars,
+                   CAST(floor(10000.0 * (sum(len * c) - sum(len)) / sum(len * c)) AS BIGINT) AS dup_char_bps
+            FROM g GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

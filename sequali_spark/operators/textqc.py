@@ -908,3 +908,78 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def gopher_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-style line/word structure signals (Rae et al. 2021
+    §A1.1 rule family; the reference's per-read structural QC — A1/A6
+    spirit — re-aimed at web text): fraction of lines that look like
+    bullet items, fraction ending in an ellipsis, fraction of words
+    containing a letter, and symbol-to-word ratio.  Everything stays
+    JVM-side: one split per axis feeds higher-order array filters, so
+    the plan is a single WholeStageCodegen projection over the scan —
+    no shuffle, no UDF, trivially linear at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    lines = F.split("text", "\n")
+    words = F.split("text", " ")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # symbol occurrences: '#' by char-class length-diff; '...' by
+    # non-overlapping literal replace (leftmost, both engines)
+    hashes = _count_class("[#]")
+    dots = ((n - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3).cast("long")
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n_lines.cast("long").alias("n_lines"),
+            _bps(bullet, n_lines).alias("bullet_line_bps"),
+            _bps(ellipsis_lines, n_lines).alias("ellipsis_line_bps"),
+            _bps(alpha_words, n_words).alias("alpha_word_bps"),
+            _bps(hashes + dots, n_words).alias("symbol_word_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_line_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-line character fraction (MassiveText/Gopher
+    repetition rule; exact-counting twin of the batch kernel's
+    dup_line_frac, kernels.py dup-line battery) as two map-side-combining
+    aggregations: explode lines -> count per (doc_id, line) -> roll up
+    per doc.  dup_char_bps = chars in repeat occurrences / total line
+    chars.  No window, no UDF; both shuffles are partial-agg hash
+    aggregates keyed by doc_id(+line), so the plan is skew-safe at any
+    corpus size (a pathological single-doc mega-line set still spreads
+    across tasks by line hash before the per-doc rollup)."""
+    d = load(spark, sf_dir, "documents")
+    lines = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    per_line = per_line.withColumn("len", F.length("line"))
+    total = F.sum(F.col("len") * F.col("c"))
+    distinct_chars = F.sum("len")
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_distinct_lines"),
+            total.cast("long").alias("line_chars"),
+            _bps(total - distinct_chars, total).alias("dup_char_bps"),
+        )
+        .orderBy("doc_id")
+    )

@@ -107,6 +107,10 @@ EXPECTED_OVERFLOW = {
     # r8 addition: paragraph-level dedup + reconstruction — new oracle,
     # mirror-swept this round, window-rotation candidate for r9
     "doc_paragraph_dedup",
+    # r8 additions: Gopher/MassiveText structure rules — new oracles,
+    # mirror-swept this round, window-rotation candidates for r9
+    "doc_gopher_line_stats",
+    "doc_dup_line_chars",
 }
 
 
@@ -135,8 +139,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 79
-    assert len(entry_mod.oracle_sql()) == 63
+    assert len(entry_mod.queries()) == 81
+    assert len(entry_mod.oracle_sql()) == 65
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
@@ -357,3 +361,85 @@ def test_windowed_queries_emit_integer_domains_only(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-integer output columns in judged queries: {offenders}"
+
+
+def test_gopher_line_stats_degenerate_docs_cross_engine(spark, tmp_path):
+    """Bullets, ellipses (ASCII and U+2026), '#' symbols, letterless
+    words, trailing newlines, and consecutive spaces — the structure
+    the sf corpora's single-line all-alpha docs never exercise.  Pins
+    Spark's split/higher-order-filter semantics against the DuckDB
+    list_filter oracle character-for-character."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from sequali_spark.operators.textqc import gopher_line_stats
+
+    docs = [
+        (0, "- item one\n- item two\nplain text line", "s", 0),
+        (1, "to be continued...\nor not…\nfinal", "s", 0),
+        (2, "#tag #tag2 price... 123 456", "s", 0),  # letterless words + symbols
+        (3, "trailing newline\n", "s", 0),  # split keeps the empty tail
+        (4, "a  b", "s", 0),  # consecutive spaces -> empty word
+        (5, "....", "s", 0),  # overlapping-ellipsis: ONE replace, 1 residual char
+        (6, "", "s", 0),  # filtered out
+        (7, "• bullet unicode\n* star", "s", 0),
+    ]
+    d = tmp_path / "gopher"
+    spark.createDataFrame(
+        docs, schema="doc_id long, text string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = [tuple(r) for r in gopher_line_stats(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    oracle = [tuple(r) for r in con.sql(em.oracle_sql()["doc_gopher_line_stats"]).fetchall()]
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    # doc 0: 2 of 3 lines are bullets -> 6666 bps
+    assert by[0][2] == 6666
+    # doc 1: 2 of 3 lines end in an ellipsis (one unicode)
+    assert by[1][3] == 6666
+    # doc 2: words = [#tag, #tag2, price..., 123, 456] -> 3 alpha of 5;
+    # symbols = 2 hashes + 1 ellipsis = 3 of 5 words
+    assert by[2][4] == 6000 and by[2][5] == 6000
+    # doc 3: trailing newline -> split keeps the empty tail line (2 lines)
+    assert by[3][1] == 2
+    # doc 4: 'a  b' -> 3 words (one empty), 2 alpha
+    assert by[4][4] == 6666
+    # doc 5: '....' -> one non-overlapping '...' match, 1 word, 0 alpha
+    assert by[5][5] == 10000 and by[5][4] == 0
+    # doc 7: unicode bullet and star both count
+    assert by[7][2] == 10000
+
+
+def test_dup_line_chars_degenerate_docs_cross_engine(spark, tmp_path):
+    """Repeated lines of unequal length, empty-line runs, and a
+    no-duplicate doc — pins the two-level aggregation against the
+    DuckDB oracle and hand-computed fractions."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from sequali_spark.operators.textqc import dup_line_chars
+
+    docs = [
+        # 'abcd' x3 (12 chars dup->8) + 'xy' (2) : dup 8 of 14
+        (0, "abcd\nabcd\nxy\nabcd", "s", 0),
+        (1, "one\ntwo\nthree", "s", 0),  # no dups
+        (2, "\n\n\nsolo\n\n", "s", 0),  # empty lines ignored
+        (3, "", "s", 0),  # filtered (no output row: zero nonempty lines)
+    ]
+    d = tmp_path / "dupline"
+    spark.createDataFrame(
+        docs, schema="doc_id long, text string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = [tuple(r) for r in dup_line_chars(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    oracle = [tuple(r) for r in con.sql(em.oracle_sql()["doc_dup_line_chars"]).fetchall()]
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    assert by[0] == (0, 4, 2, 14, 5714)  # floor(10000*8/14)
+    assert by[1][4] == 0
+    assert by[2] == (2, 1, 1, 4, 0)
+    assert 3 not in by
