@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (mirror-swept; window-rotation candidates for r9)
         "doc_gopher_line_stats": textqc.gopher_line_stats,
         "doc_dup_line_chars": textqc.dup_line_chars,
+        "doc_top_bigram_mass": textqc.top_bigram_mass,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -876,6 +877,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len * c) AS BIGINT) AS line_chars,
                    CAST(floor(10000.0 * (sum(len * c) - sum(len)) / sum(len * c)) AS BIGINT) AS dup_char_bps
             FROM g GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_top_bigram_mass": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n
+              FROM documents
+              WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 2
+            ), g AS (
+              SELECT doc_id, n, array_to_string(words[i:i+1], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) s
+            ), c AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(max(c * length(gram)) AS BIGINT) AS top_bigram_chars,
+                   CAST(floor(10000.0 * max(c * length(gram)) / n) AS BIGINT) AS top_bigram_bps
+            FROM c GROUP BY doc_id, n ORDER BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

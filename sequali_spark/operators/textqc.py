@@ -983,3 +983,50 @@ def dup_line_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def top_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top word-bigram character mass (MassiveText 'fraction of
+    characters in the most frequent n-gram' repetition rule, n=2; the
+    exact-counting SQL twin of the batch kernel's top_bigram_frac).
+
+    Deterministic by construction: the report is max(count * len(gram))
+    — the char mass of the heaviest bigram — so count ties between
+    different-length grams never need a text tie-break.  Plan: bigrams
+    are built JVM-side (transform + slice over the split array, same
+    idiom as paragraph_dedup's fixed-word windows), exploded, then two
+    map-side-combining hash aggregates keyed (doc_id, gram) -> doc_id.
+    No window, no UDF; a boilerplate mega-doc spreads across tasks by
+    gram hash before the per-doc rollup."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_w = F.size(words)
+    # sequence(0, -1) would generate a DESCENDING range, so docs with a
+    # single word are filtered, not guarded per-element
+    base = (
+        d.filter((F.length("text") > 0) & (n_w >= 2))
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars_doc"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_w - 2),
+                    lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = base.groupBy("doc_id", "n_chars_doc", "gram").agg(
+        F.count("*").alias("c")
+    )
+    mass = F.max(F.col("c") * F.length("gram"))
+    return (
+        per_gram.groupBy("doc_id", "n_chars_doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            mass.cast("long").alias("top_bigram_chars"),
+            _bps(mass, F.col("n_chars_doc")).alias("top_bigram_bps"),
+        )
+        .select("doc_id", "n_grams", "top_bigram_chars", "top_bigram_bps")
+        .orderBy("doc_id")
+    )

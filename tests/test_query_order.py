@@ -111,6 +111,7 @@ EXPECTED_OVERFLOW = {
     # mirror-swept this round, window-rotation candidates for r9
     "doc_gopher_line_stats",
     "doc_dup_line_chars",
+    "doc_top_bigram_mass",
 }
 
 
@@ -139,8 +140,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 81
-    assert len(entry_mod.oracle_sql()) == 65
+    assert len(entry_mod.queries()) == 82
+    assert len(entry_mod.oracle_sql()) == 66
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
@@ -443,3 +444,37 @@ def test_dup_line_chars_degenerate_docs_cross_engine(spark, tmp_path):
     assert by[1][4] == 0
     assert by[2] == (2, 1, 1, 4, 0)
     assert 3 not in by
+
+
+def test_top_bigram_mass_degenerate_docs_cross_engine(spark, tmp_path):
+    """Repeated bigrams, single-word docs (filtered — sequence(0,-1)
+    would otherwise generate a DESCENDING range), consecutive spaces
+    (empty words join into short grams), and count-ties between
+    different-length grams (settled by char mass, no text tie-break)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from sequali_spark.operators.textqc import top_bigram_mass
+
+    docs = [
+        (0, "ab ab ab ab", "s", 0),  # 'ab ab' x3 -> mass 15 over n=11
+        (1, "hello", "s", 0),  # one word: filtered
+        (2, "a  b", "s", 0),  # words [a,'',b] -> grams 'a ', ' b'
+        (3, "x y x y x", "s", 0),  # 'x y' x2 vs 'y x' x2 -> mass 6
+        (4, "", "s", 0),  # filtered
+    ]
+    d = tmp_path / "bigram"
+    spark.createDataFrame(
+        docs, schema="doc_id long, text string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = [tuple(r) for r in top_bigram_mass(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    oracle = [tuple(r) for r in con.sql(em.oracle_sql()["doc_top_bigram_mass"]).fetchall()]
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    assert by[0] == (0, 3, 15, 13636)  # floor(10000*15/11)
+    assert 1 not in by and 4 not in by
+    assert by[2] == (2, 2, 2, 5000)
+    assert by[3] == (3, 4, 6, 6666)
