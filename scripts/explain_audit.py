@@ -27,6 +27,9 @@ AUDITED = [
     "rel_top_unshipped",
     "winnow_overlap_pairs",
     "doc_paragraph_dedup",
+    "doc_gopher_line_stats",
+    "doc_dup_line_chars",
+    "doc_top_bigram_mass",
 ]
 
 HEADER = """# PLANS — physical-plan audit of the headline queries
@@ -88,6 +91,20 @@ What to look for, per query:
   Sort is absent from the bare operator (job consumers are
   order-insensitive; the sort would range-exchange the full
   reconstructed text).
+- **doc_gopher_line_stats** (r8) — the whole Gopher structure battery
+  is ONE codegen `Project` over the filtered scan (higher-order array
+  filters, startswith/endswith/rlike inside the lambdas); the only
+  exchange is the driver-contract orderBy.  Linear at any corpus size.
+- **doc_dup_line_chars** (r8) — explode(lines) -> partial/final
+  `HashAggregate` on (doc_id, line) -> partial/final `HashAggregate`
+  on doc_id.  Both aggregates map-side combine; a doc whose lines all
+  repeat still spreads across tasks by line hash before the per-doc
+  rollup.  No Window, no UDF.
+- **doc_top_bigram_mass** (r8) — bigrams built in the `Generate`'s
+  transform+slice lambda (paragraph_dedup's windowing idiom), then the
+  same two-level aggregate shape keyed (doc_id, gram) -> doc_id; the
+  per-doc report is max(count*len) so no ordering or tie-break ever
+  enters the plan.
 """
 
 
