@@ -16,6 +16,9 @@ Rule battery ancestry (SURVEY.md §7.2):
   perplexity                     <- per-read mean quality (A5)
   PII/toxicity scrub             <- AdapterCounter exact search (A6)
   fingerprint / shingles         <- DedupEstimator (A10) / OverrepSeqs (A8)
+  Gopher structure rules (r8)    <- Rae et al. 2021 §A1.1 (bullet/
+                                    ellipsis lines, letter-bearing
+                                    words, symbol-to-word ratio)
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ MAX_CTRL_RATIO = 0.005
 MAX_CHAR_RUN = 20
 MAX_DUP_LINE_FRAC = 0.30
 MAX_TOP_BIGRAM_FRAC = 0.20
+# Gopher structure rules (Rae et al. 2021 §A1.1, canonical thresholds):
+# listing-like pages (>90% bullet lines), clipped/teaser pages (>30%
+# lines ending in an ellipsis), symbol soup (<80% of words contain a
+# letter, or >0.1 symbols per word — '#' and '...')
+MAX_BULLET_LINE_FRAC = 0.90
+MAX_ELLIPSIS_LINE_FRAC = 0.30
+MIN_ALPHA_WORD_FRAC = 0.80
+MAX_SYMBOL_WORD_RATIO = 0.10
 # Model-gated thresholds are calibrated to reject GIBBERISH, not merely
 # out-of-domain text: a hashed add-k LM scores fully-unseen vocabulary
 # ~450k ppl and pure noise far higher, while unfamiliar-but-real prose
@@ -59,6 +70,10 @@ RULE_ORDER = [
     "char_run",
     "dup_lines",
     "repeated_bigrams",
+    "bullet_heavy",
+    "ellipsis_heavy",
+    "low_alpha_words",
+    "symbol_heavy",
     "high_perplexity",
     "low_lang_conf",
     "toxicity",
@@ -71,7 +86,9 @@ RULE_INPUT_COLUMNS = frozenset(
     {
         "n_chars", "n_words", "mean_word_len", "digit_ratio", "upper_ratio",
         "punct_ratio", "ctrl_ratio", "max_char_run", "dup_line_frac",
-        "top_bigram_frac", "perplexity", "lang_pred", "lang_conf",
+        "top_bigram_frac", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "symbol_word_ratio",
+        "perplexity", "lang_pred", "lang_conf",
         "tox_hits", "html_utf8",
     }
 )
@@ -91,7 +108,10 @@ METRIC_SCHEMA_DDL = (
     "alpha_ratio double, digit_ratio double, upper_ratio double, "
     "space_ratio double, punct_ratio double, ctrl_ratio double, "
     "nonascii_ratio double, mean_word_len double, max_char_run bigint, "
-    "dup_line_frac double, top_bigram_frac double, compression_ratio double, "
+    "dup_line_frac double, top_bigram_frac double, "
+    "bullet_line_frac double, ellipsis_line_frac double, "
+    "alpha_word_frac double, symbol_word_ratio double, "
+    "compression_ratio double, "
     "lang_pred string, lang_conf double, perplexity double, "
     "pii_hits bigint, tox_hits bigint, html_utf8 boolean, "
     "fingerprint bigint, sampled boolean, shingles array<string>, "
@@ -146,6 +166,28 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
         tok_hashes[tok_mask] = kernels.hash_tokens(list(flat_arr[tok_mask]))
     ws = kernels.word_stats_from_tokens(texts_list, flat, tok_lengths, tok_offsets, tok_hashes)
     run = kernels.max_char_run(raw_bytes)
+
+    # Gopher structure signals (Rae et al. 2021 §A1.1) — all vectorized:
+    # multiline regexes count qualifying lines in one C pass per doc;
+    # the letter-bearing-word test reuses the shared token stream.
+    n_lines = texts.str.count("\n").to_numpy(dtype=np.float64) + 1.0
+    bullet_lines = texts.str.count(r"(?m)^(?:- |\* |•)").to_numpy(dtype=np.float64)
+    ellipsis_lines = texts.str.count(r"(?m)(?:\.\.\.|…)$").to_numpy(dtype=np.float64)
+    alpha_toks = (
+        pd.Series(flat, dtype=object)
+        .str.contains("[A-Za-z]", regex=True)
+        .to_numpy(dtype=np.int64)
+        if flat
+        else np.zeros(0, dtype=np.int64)
+    )
+    alpha_counts = kernels.segment_sums(alpha_toks, tok_offsets)
+    word_denom = np.maximum(tok_lengths, 1).astype(np.float64)
+    alpha_word_frac = np.where(tok_lengths > 0, alpha_counts / word_denom, 1.0)
+    symbol_counts = (
+        texts.str.count("#").to_numpy(dtype=np.float64)
+        + texts.str.count(r"\.\.\.").to_numpy(dtype=np.float64)
+    )
+    symbol_word_ratio = symbol_counts / word_denom
 
     lang_pred, lang_conf = langid.get_model().predict(texts_list)
     ppl = perplexity.get_model().perplexities_hashed(tok_hashes, tok_lengths, tok_offsets)
@@ -208,6 +250,10 @@ def compute_metrics(pdf: pd.DataFrame, needed: set[str] | None = None) -> pd.Dat
             "max_char_run": run,
             "dup_line_frac": ws["dup_line_frac"].to_numpy(),
             "top_bigram_frac": ws["top_bigram_frac"].to_numpy(),
+            "bullet_line_frac": bullet_lines / n_lines,
+            "ellipsis_line_frac": ellipsis_lines / n_lines,
+            "alpha_word_frac": alpha_word_frac,
+            "symbol_word_ratio": symbol_word_ratio,
             "compression_ratio": (
                 kernels.compression_ratios(raw_bytes)
                 if _want("compression_ratio")
@@ -261,6 +307,10 @@ def _apply_rules(m: pd.DataFrame) -> list[list[str]]:
         "char_run": m["max_char_run"].to_numpy() > MAX_CHAR_RUN,
         "dup_lines": m["dup_line_frac"].to_numpy() > MAX_DUP_LINE_FRAC,
         "repeated_bigrams": m["top_bigram_frac"].to_numpy() > MAX_TOP_BIGRAM_FRAC,
+        "bullet_heavy": m["bullet_line_frac"].to_numpy() > MAX_BULLET_LINE_FRAC,
+        "ellipsis_heavy": m["ellipsis_line_frac"].to_numpy() > MAX_ELLIPSIS_LINE_FRAC,
+        "low_alpha_words": m["alpha_word_frac"].to_numpy() < MIN_ALPHA_WORD_FRAC,
+        "symbol_heavy": m["symbol_word_ratio"].to_numpy() > MAX_SYMBOL_WORD_RATIO,
         "high_perplexity": (m["perplexity"].to_numpy() > MAX_PERPLEXITY)
         & (m["lang_pred"].to_numpy() == "en"),
         "low_lang_conf": m["lang_conf"].to_numpy() < MIN_LANG_CONF,

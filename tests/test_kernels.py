@@ -138,3 +138,43 @@ def test_pruned_metrics_keep_decision_identical():
     assert [list(r) for r in full["drop_reasons"]] == [list(r) for r in pruned["drop_reasons"]]
     # and the expensive columns were genuinely skipped (dummy values)
     assert set(PRUNABLE_COLUMNS) <= set(full.columns)
+
+
+def test_gopher_structure_rules_fire_on_crafted_docs():
+    """The r8 Gopher rules (Rae et al. 2021 §A1.1) on hand-built docs the
+    synthetic corpus never contains: a pure bullet list, an ellipsis-
+    teaser page, symbol soup, and letterless word salad — plus a healthy
+    doc asserting none of the four fire."""
+    import pandas as pd
+    from sequali_spark.functions.metrics import compute_metrics
+
+    healthy = (
+        "The quick brown fox jumps over the lazy dog near the river bank. "
+        * 3
+    )
+    bullets = "\n".join(f"- item number {i} in the listing" for i in range(20))
+    teaser = "\n".join(f"read the full story about topic {i}..." for i in range(10))
+    symbols = " ".join(f"#tag{i} more..." for i in range(30))
+    numbers = "the " + " ".join(str(i * 137) for i in range(40))
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://x.test/{i}" for i in range(5)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 5),
+            "html": [None] * 5,
+            "text": [healthy, bullets, teaser, symbols, numbers],
+            "lang": ["en"] * 5,
+        }
+    )
+    m = compute_metrics(pdf)
+    reasons = [set(r) for r in m["drop_reasons"]]
+    new_rules = {"bullet_heavy", "ellipsis_heavy", "low_alpha_words", "symbol_heavy"}
+    assert not (reasons[0] & new_rules), reasons[0]
+    assert "bullet_heavy" in reasons[1]
+    assert "ellipsis_heavy" in reasons[2]
+    assert "symbol_heavy" in reasons[3]
+    assert "low_alpha_words" in reasons[4]
+    # metric values, hand-checked
+    assert m["bullet_line_frac"][1] == 1.0
+    assert m["ellipsis_line_frac"][2] == 1.0
+    assert m["alpha_word_frac"][4] == 1.0 / 41
+    assert m["symbol_word_ratio"][3] == 1.0  # one '#' + one '...' per 2 words

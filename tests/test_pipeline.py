@@ -58,7 +58,9 @@ def test_numeric_metrics_exact(spark_metrics, golden):
         assert spark_metrics[col].tolist() == golden[col].tolist(), col
     for col in [
         "alpha_ratio", "digit_ratio", "upper_ratio", "mean_word_len",
-        "dup_line_frac", "top_bigram_frac", "lang_conf", "perplexity",
+        "dup_line_frac", "top_bigram_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
+        "lang_conf", "perplexity",
     ]:
         pd.testing.assert_series_equal(
             spark_metrics[col], golden[col], check_exact=True, obj=col
