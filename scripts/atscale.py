@@ -881,6 +881,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument(
+        "--ladder",
+        default=None,
+        help="comma-separated parallelism pair for ladder modes, e.g. 8,32",
+    )
+    ap.add_argument(
         "--mode",
         choices=["dedup", "curation", "curation-scaling", "paragraph", "ann",
                  "ann-disk", "ring-recall", "all"],
@@ -899,7 +904,12 @@ def main() -> None:
         results["curation_scaling"] = run_curation_scaling(args.rows)
         print(json.dumps({"curation_scaling": results["curation_scaling"]}))
     if args.mode == "paragraph":  # ladder; not part of "all"
-        results["paragraph_dedup"] = run_paragraph(args.rows)
+        ladder = (
+            tuple(int(x) for x in args.ladder.split(","))
+            if args.ladder
+            else (2, 8)
+        )
+        results["paragraph_dedup"] = run_paragraph(args.rows, ladder=ladder)
         print(json.dumps({"paragraph_dedup": results["paragraph_dedup"]}))
     if args.mode == "ann":  # separate corpus; not part of "all"
         results["ann"] = run_ann(args.rows)
