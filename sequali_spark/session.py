@@ -75,6 +75,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/IO codec (r8, measured at 5M docs / local[32]): zstd
+        # cuts the paragraph-dedup election shuffle 7.8 -> 5.1 GB (-35%)
+        # with ZERO wall-clock cost vs lz4 (73.1 vs 73.8 s, same-window
+        # A/B, identical digests) — in local mode the page cache absorbs
+        # either volume, but on a real cluster shuffle bytes cross the
+        # network, so fewer bytes at equal CPU is strictly better.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
