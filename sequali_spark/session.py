@@ -75,15 +75,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Shuffle/IO codec (r8, measured at 5M docs / local[32]): zstd
-        # cuts the paragraph-dedup election shuffle 7.8 -> 5.1 GB (-35%)
-        # with ZERO wall-clock cost vs lz4 (73.1 vs 73.8 s, same-window
-        # A/B, identical digests) — in local mode the page cache absorbs
-        # either volume, but on a real cluster shuffle bytes cross the
-        # network, so fewer bytes at equal CPU is strictly better.
+        # Shuffle/IO codec (r8, two measured regimes): on the BIG text
+        # shuffle (paragraph-dedup election, 5M docs/local[32]) zstd
+        # cuts bytes 7.8 -> 5.1 GB (-35%) at wall parity (73.1 vs
+        # 73.8 s) — the win a network-shuffle deployment wants.  But on
+        # the sf0.1 headline's MANY-SMALL-SHUFFLE regime an ABAB A/B
+        # read zstd 11.95/11.65 s vs lz4 10.49/10.55 s (~11% tax:
+        # per-block codec CPU dominates when shuffles are KBs-MBs).
+        # Default stays lz4; set SPARK_GRAFT_IO_CODEC=zstd on jobs
+        # whose shuffles actually cross a network.
         .config(
             "spark.io.compression.codec",
-            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
