@@ -235,3 +235,47 @@ def test_png_roundtrip_property(h, w, ch, filter_type, seed):
     img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
     png = multimodal.encode_png(img, filter_type=filter_type)
     assert np.array_equal(multimodal.decode_png(png), img)
+
+
+# Structured text skewed toward the Gopher signals: bullets, ellipses,
+# hashes, digits, newlines, and unicode — the shapes the rules read.
+_gopher_text = st.text(
+    alphabet=st.sampled_from(list("ab #.\n-*•…0!")), max_size=200
+)
+
+
+@given(st.lists(_gopher_text, min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_gopher_battery_matches_pure_python(ts):
+    """The vectorized battery metrics (multiline regex + token stream)
+    must equal a from-scratch per-doc Python recomputation for ANY
+    text — pinning the (?m) anchors, the '...' non-overlap, and the
+    empty-token conventions against the spec, not the implementation."""
+    import re
+
+    from sequali_spark.functions.metrics import compute_metrics
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(len(ts))],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * len(ts)),
+            "html": [None] * len(ts),
+            "text": ts,
+            "lang": ["en"] * len(ts),
+        }
+    )
+    m = compute_metrics(pdf)
+    for i, t in enumerate(ts):
+        lines = t.split("\n")
+        bullet = sum(l.startswith(("- ", "* ", "•")) for l in lines)
+        ellip = sum(l.endswith(("...", "…")) for l in lines)
+        # battery words = kernels.tokenize = str.split() (any whitespace,
+        # empties dropped); zero-word docs take the 1.0 convention
+        # (emptiness is too_short's job, not a structure violation)
+        words = t.split()
+        alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words)
+        symbols = t.count("#") + len(re.findall(r"\.\.\.", t))
+        assert m["bullet_line_frac"][i] == bullet / len(lines)
+        assert m["ellipsis_line_frac"][i] == ellip / len(lines)
+        assert m["alpha_word_frac"][i] == (alpha / len(words) if words else 1.0)
+        assert m["symbol_word_ratio"][i] == symbols / max(len(words), 1)
