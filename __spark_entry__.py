@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_line_stats": textqc.gopher_line_stats,
         "doc_dup_line_chars": textqc.dup_line_chars,
         "doc_top_bigram_mass": textqc.top_bigram_mass,
+        "doc_dup_ngram_mass": textqc.dup_ngram_mass,
         # ================= block 3: rows-only by nature =================
         "dedup_minhash_pairs": dedup.minhash_near_dup_pairs,
         "dedup_simhash_pairs": dedup.simhash_near_dup_pairs,
@@ -894,6 +895,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c * length(gram)) AS BIGINT) AS top_bigram_chars,
                    CAST(floor(10000.0 * max(c * length(gram)) / n) AS BIGINT) AS top_bigram_bps
             FROM c GROUP BY doc_id, n ORDER BY doc_id
+        """,
+        "doc_dup_ngram_mass": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents
+              WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 5
+            ), g AS (
+              SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) s
+            ), c AS (
+              SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup_gram_chars,
+                   CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                              / sum(c * length(gram))) AS BIGINT) AS dup_gram_bps
+            FROM c GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper

@@ -30,6 +30,7 @@ AUDITED = [
     "doc_gopher_line_stats",
     "doc_dup_line_chars",
     "doc_top_bigram_mass",
+    "doc_dup_ngram_mass",
 ]
 
 HEADER = """# PLANS — physical-plan audit of the headline queries
@@ -105,6 +106,10 @@ What to look for, per query:
   same two-level aggregate shape keyed (doc_id, gram) -> doc_id; the
   per-doc report is max(count*len) so no ordering or tie-break ever
   enters the plan.
+- **doc_dup_ngram_mass** (r8) — the long-range repetition twin
+  (duplicated 5-gram char mass): identical two-level aggregate shape;
+  the c>1 conditional mass is a plain SUM(CASE) inside the final
+  HashAggregate.
 """
 
 

@@ -1030,3 +1030,41 @@ def top_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "top_bigram_chars", "top_bigram_bps")
         .orderBy("doc_id")
     )
+
+
+def dup_ngram_mass(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """Per-doc duplicated word-n-gram character mass (MassiveText
+    'fraction of characters in duplicated n-grams', n=5 — the long-range
+    twin of top_bigram_mass; together they complete the repetition-rule
+    family).  dup_gram_bps = char mass of grams occurring more than
+    once / total gram mass.  Same plan shape as top_bigram_mass: grams
+    built JVM-side, exploded, two map-side-combining hash aggregates —
+    no window, no UDF, skew-safe by gram hash."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_w = F.size(words)
+    base = (
+        d.filter((F.length("text") > 0) & (n_w >= n))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_w - n),
+                    lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = base.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    mass = F.col("c") * F.length("gram")
+    total = F.sum(mass)
+    dup = F.sum(F.when(F.col("c") > 1, mass).otherwise(F.lit(0)))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            dup.cast("long").alias("dup_gram_chars"),
+            _bps(dup, total).alias("dup_gram_bps"),
+        )
+        .orderBy("doc_id")
+    )

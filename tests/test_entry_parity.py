@@ -74,7 +74,7 @@ def test_every_oracle_has_query():
 
 
 def test_mirror_sweep_is_the_overflow_gate():
-    """The window-count endgame (VERDICT r6 task 8): 66 oracle-backed
+    """The window-count endgame (VERDICT r6 task 8): 67 oracle-backed
     queries will never all fit the driver's 50 slots, so the contract
     is: every oracle-backed query — windowed OR overflow — is swept by
     test_query_matches_oracle against the typed-Arrow DuckDB oracle in
@@ -86,7 +86,7 @@ def test_mirror_sweep_is_the_overflow_gate():
     from tests.test_query_order import DRIVER_WINDOW, EXPECTED_OVERFLOW
 
     assert set(WITH_ORACLE) == set(ORACLES)
-    assert len(WITH_ORACLE) == 66
+    assert len(WITH_ORACLE) == 67
     overflow = {n for n in list(QUERIES)[DRIVER_WINDOW:] if n in ORACLES}
     assert overflow == EXPECTED_OVERFLOW
     assert overflow <= set(WITH_ORACLE)

@@ -112,6 +112,7 @@ EXPECTED_OVERFLOW = {
     "doc_gopher_line_stats",
     "doc_dup_line_chars",
     "doc_top_bigram_mass",
+    "doc_dup_ngram_mass",
 }
 
 
@@ -140,8 +141,8 @@ def test_no_dangling_oracles():
 
 def test_inventory_counts_match_docs():
     """README/COVERAGE advertise these totals; keep them honest."""
-    assert len(entry_mod.queries()) == 82
-    assert len(entry_mod.oracle_sql()) == 66
+    assert len(entry_mod.queries()) == 83
+    assert len(entry_mod.oracle_sql()) == 67
 
 
 def test_token_zipf_mass_degenerate_docs_cross_engine(spark, tmp_path):
@@ -478,3 +479,37 @@ def test_top_bigram_mass_degenerate_docs_cross_engine(spark, tmp_path):
     assert 1 not in by and 4 not in by
     assert by[2] == (2, 2, 2, 5000)
     assert by[3] == (3, 4, 6, 6666)
+
+
+def test_dup_ngram_mass_degenerate_docs_cross_engine(spark, tmp_path):
+    """Fully-repeated 5-grams, a doc with exactly 5 words (one gram,
+    never 'duplicated'), and a 4-word doc (filtered) — pins the c>1
+    conditional mass against the DuckDB oracle and hand math."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from sequali_spark.operators.textqc import dup_ngram_mass
+
+    docs = [
+        (0, "a b c d e a b c d e a b c d e", "s", 0),  # 'a b c d e' repeats
+        (1, "v w x y z", "s", 0),  # exactly one gram, c=1 -> dup 0
+        (2, "p q r s", "s", 0),  # 4 words: filtered
+        (3, "", "s", 0),  # filtered
+    ]
+    d = tmp_path / "dupgram"
+    spark.createDataFrame(
+        docs, schema="doc_id long, text string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = [tuple(r) for r in dup_ngram_mass(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    oracle = [tuple(r) for r in con.sql(em.oracle_sql()["doc_dup_ngram_mass"]).fetchall()]
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    # doc 0: 15 words -> 11 grams over a period-5 word cycle, so only 5
+    # DISTINCT grams exist (counts 3+2+2+2+2) and every gram is a
+    # duplicate: dup mass = total mass = 11 grams x 9 chars
+    assert by[0] == (0, 11, 99, 10000)
+    assert by[1] == (1, 1, 0, 0)
+    assert 2 not in by and 3 not in by
