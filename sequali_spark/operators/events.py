@@ -33,13 +33,51 @@ def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour: events, distinct users, exact value sum in integer
     cents — the A17 time-slot report (distinct users ≙ distinct
     channels)."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+    from sequali_spark.session import spread_for_compute
+
+    # r9 (three changes, value-identical, mirror-swept):
+    # 1. Spread: the events table is one parquet row group, so the whole
+    #    map side ran on one core (no-op at production row-group counts).
+    # 2. The countDistinct was planned as an Expand (every row duplicated
+    #    per aggregate branch) — replaced by a two-level aggregation:
+    #    partial sums per (hour, user), then per hour where distinct
+    #    users = count of non-null user rows.  Exactly countDistinct's
+    #    semantics (NULL users are not counted; rows still count toward
+    #    `events` via the summed per-user counts).
+    # 3. Long-split exact value sum (see relational.pricing_summary):
+    #    micro-units via the identical decimal(18,6) cast, (unit,
+    #    remainder) component sums in plain codegen longs, floor(x*100)
+    #    recomposed with integer arithmetic — exact across both levels
+    #    because component sums of exact integers are exact.
+    e = spread_for_compute(load(spark, sf_dir, "events"), key="event_id")
+    per_user = (
+        e.selectExpr(
+            "date_trunc('hour', ts) as hour",
+            "user_id",
+            "cast(cast(value as decimal(18,6)) * 1000000 as long) as v6",
+        )
+        .selectExpr(
+            "hour", "user_id",
+            "(v6 - pmod(v6, 1000000)) div 1000000 as vu", "pmod(v6, 1000000) as vr",
+        )
+        .groupBy("hour", "user_id")
         .agg(
-            F.count("*").alias("events"),
-            F.countDistinct("user_id").alias("distinct_users"),
-            _value_sum_cents().alias("value_sum_cents"),
+            F.count("*").alias("cnt"),
+            F.sum("vu").alias("svu"),
+            F.sum("vr").alias("svr"),
+        )
+    )
+    return (
+        per_user.groupBy("hour")
+        .agg(
+            F.sum("cnt").alias("events"),
+            F.count("user_id").alias("distinct_users"),
+            F.sum("svu").alias("su"),
+            F.sum("svr").alias("sr"),
+        )
+        .selectExpr(
+            "hour", "events", "distinct_users",
+            "su * 100 + sr div 10000 as value_sum_cents",
         )
         .orderBy("hour")
     )

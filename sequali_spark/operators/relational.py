@@ -40,17 +40,67 @@ def _cents12(dec_sum: F.Column) -> F.Column:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary; exact decimal sums (map-side
     partial agg + final agg, AQE-coalesced)."""
+    from sequali_spark.session import spread_for_compute
+
     li = load(spark, sf_dir, "lineitem")
-    return (
+    # r9 (two changes, both measured at sf1.0 — 1.065 -> 0.756 s, value-
+    # identical by integer-exactness, MATCH-verified + mirror-swept):
+    #
+    # 1. Spread: lineitem arrives in a handful of row groups (6 at
+    #    sf1.0), so the partial aggregation ran 6-wide on 32 cores.
+    #    Project to the consumed columns FIRST so the spread exchange
+    #    ships only them, hash-spread on the high-cardinality order key
+    #    (no-op once row groups >= cores; session.spread_for_compute).
+    # 2. Long-split exact sums: the decimal(28,6)/(37,12) sum buffers
+    #    fall off Spark's compact-long fast path, and the per-row
+    #    decimal adds dominated the stage.  Each value is converted ONCE
+    #    to exact integer micro-units via the same decimal(18,6) cast
+    #    the old path used (so rounding is bit-identical), then split
+    #    into (whole units, non-negative sub-unit remainder) component
+    #    sums — plain codegen long sums.  floor(sum*100) is recomposed
+    #    from the components with pure integer arithmetic; the
+    #    derivation and the per-group overflow bound (~1e12 rows/group
+    #    under ANSI's loud addExact, vs silent BigDecimal before) are in
+    #    OPTIMIZATION_r09.md.  pmod keeps remainders in [0, scale) so
+    #    the recomposition is floor-exact for either sign.
+    # NOTE: `div` (integer division), never `/` — long `/` is double
+    # division in Spark and loses exactness past 2^53 (v12 reaches 1e17).
+    sel = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .selectExpr(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "cast(cast(l_quantity as decimal(18,6)) * 1000000 as long) as q6",
+            "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
+            "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
+        )
+        .selectExpr(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "q6", "p6", "p6 * (1000000 - d6) as v12",
+        )
+        .selectExpr(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "(q6 - pmod(q6, 1000000)) div 1000000 as qu", "pmod(q6, 1000000) as qr",
+            "(p6 - pmod(p6, 1000000)) div 1000000 as pu", "pmod(p6, 1000000) as pr",
+            "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
+            "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
+            "pmod(v12, 1000000) as dr",
+        )
+    )
+    return (
+        spread_for_compute(sel, key="l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _cents(F.sum(_dec("l_quantity"))).alias("sum_qty_cents"),
-            _cents(F.sum(_dec("l_extendedprice"))).alias("sum_base_price_cents"),
-            _cents12(
-                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
-            ).alias("sum_disc_price_cents"),
+            F.sum("qu").alias("squ"), F.sum("qr").alias("sqr"),
+            F.sum("pu").alias("spu"), F.sum("pr").alias("spr"),
+            F.sum("du").alias("sdu"), F.sum("dm").alias("sdm"), F.sum("dr").alias("sdr"),
             F.count("*").alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag", "l_linestatus",
+            "squ * 100 + sqr div 10000 as sum_qty_cents",
+            "spu * 100 + spr div 10000 as sum_base_price_cents",
+            "sdu * 100 + (sdm + sdr div 1000000) div 10000 as sum_disc_price_cents",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

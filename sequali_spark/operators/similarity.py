@@ -42,10 +42,16 @@ def brute_force_topk_for(e: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     product, per-query row_number — the baseline every ANN variant is
     measured against.  At scale: queries are always the broadcast side;
     the corpus side streams, no shuffle until the tiny top-k agg."""
+    from sequali_spark.session import spread_for_compute
+
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # r9: the corpus side streams through a BroadcastNestedLoopJoin and
+    # pays the interpreted per-pair dot product — spread the (one-row-
+    # group) scan so that work is cluster-wide, queries stay broadcast
+    corpus = spread_for_compute(e, key="vec_id")
+    pairs = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     return _rerank_topk(pairs, k)
 
 

@@ -119,3 +119,40 @@ def spread_for_python(df, cap: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_for_compute(df, key: str | None = None):
+    """CPU-spread guard for expression-heavy JVM stages (regex/char
+    batteries, decimal aggregation, array dot products) — the twin of
+    ``spread_for_python`` for pure-JVM compute.
+
+    Why it exists (r9, measured): the driver's tables are written as ONE
+    parquet row group per file, and a row group is the unit of scan
+    splitting — ``maxPartitionBytes`` cannot cut below it, so every
+    scan-rooted stage ran on a single core regardless of cluster size
+    (doc_char_ratios spent 3.7 s of single-threaded regex at sf1.0 on
+    local[32]).  Repartitioning costs one exchange of the input rows
+    (~16 MB for the documents table) and buys full-cluster parallelism
+    for the expensive projection/partial-aggregation above it.
+
+    Scale behavior: fires ONLY when the scan under-decomposes (splits <
+    session parallelism).  At production scale row-group counts exceed
+    cores and this is a no-op — the payload never shuffles on the scale
+    path (same discipline as spread_for_python).
+
+    ``key``: hash-partition on a high-cardinality column instead of
+    round-robin.  Round-robin repartition first LOCALLY SORTS its input
+    (spark.sql.execution.sortBeforeRepartition, on by default so task
+    retries are deterministic) — on the single-task scan this guard
+    exists to fix, that sort is itself serial; hashing a unique key
+    needs no sort and spreads evenly."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
