@@ -427,10 +427,15 @@ def _with_digest(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 N_MINHASH = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
-# pigeonhole band prefilter in _verify_candidates — bit-identical
-# output by construction; the off switch exists for the equivalence
-# test and for debugging, not as a tuning knob
-BAND_PREFILTER = True
+# packed-byte candidate prefilter in _verify_candidates — bit-identical
+# output by construction (strict superset screen + exact re-verify); the
+# off switch exists for the equivalence test and for debugging, not as a
+# tuning knob.  Replaces the r6 pigeonhole BAND prefilter: the byte
+# screen applies at EVERY threshold (the band bound vanished below
+# t=0.765 — exactly where the headline query runs) and compares 64
+# components via 8 codegen long ops instead of a 16-element interpreted
+# lambda.
+PACKED_PREFILTER = True
 _MERSENNE = (1 << 61) - 1
 
 
@@ -616,6 +621,30 @@ def _minhash_chunk(
             g = end
 
 
+_PLANE_POS = np.arange(N_MINHASH, dtype=np.uint64)
+N_PACK_PLANES = 4
+
+
+def _pack_bitplanes(sigs: np.ndarray, n_planes: int = N_PACK_PLANES) -> np.ndarray:
+    """(n_docs, 64) signature matrix -> (n_docs, n_planes) int64 bit
+    planes: plane k's i-th bit is bit k of signature component i.  Two
+    signatures' positional component-match count is bounded ABOVE by
+    64 - popcount(OR of per-plane XORs): equal components always agree
+    on every sampled bit, unequal components collide on all n_planes
+    sampled bits with p = 2^-n_planes.  This gives the verify stage a
+    strict-superset screen whose per-pair cost is n_planes XORs + one
+    bit_count — a ~13-node codegen expression (an earlier byte-SWAR
+    variant inlined a ~3000-node tree into the join condition and fell
+    off codegen, measured 5x SLOWER than no screen at all)."""
+    u = sigs.astype(np.uint64)
+    planes = np.empty((len(sigs), n_planes), dtype=np.uint64)
+    for k in range(n_planes):
+        planes[:, k] = (
+            ((u >> np.uint64(k)) & np.uint64(1)) << _PLANE_POS[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+    return planes.view(np.int64)
+
+
 _BAND_POWERS = (np.uint64(31) ** np.arange(
     N_MINHASH // LSH_BANDS - 1, -1, -1, dtype=np.uint64
 )).astype(np.uint64)
@@ -649,19 +678,24 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     (_batch_minhash_matrix: global rolling-FNV + tiled segment-minima)
     plus ONE vectorized band-mix (_band_keys) per batch."""
     id_type = dict(docs.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, digest string, signature array<long>, bands array<long>"
+    schema = (
+        f"{id_col} {id_type}, digest string, signature array<long>, "
+        "bands array<long>, packed array<long>"
+    )
 
     def _batches(it):
         for pdf in it:
             texts = [(t or "") for t in pdf[text_col]]
             sigs = _batch_minhash_matrix(texts)
             bands = _band_keys(sigs)
+            packed = _pack_bitplanes(sigs)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "digest": pdf["digest"].to_numpy(),
                     "signature": list(sigs),
                     "bands": list(bands),
+                    "packed": list(packed),
                 }
             )
 
@@ -982,9 +1016,15 @@ def minhash_pairs_from_sigs(
     """
     if edge_mode not in ("pairs", "ring"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
+    # "packed" is optional so signature frames checkpointed by earlier
+    # versions (jobs/run_dedup.py resume) stay consumable — they just
+    # skip the packed prefilter
+    pin_cols = [id_col, "signature", "bands"] + (
+        ["packed"] if "packed" in sigs.columns else []
+    )
     sigs = _persist_pinned(
         "minhash",
-        sigs.select(id_col, "signature", "bands"),
+        sigs.select(*pin_cols),
         fingerprint=_pin_fingerprint,
     )
     bands = sigs.select(
@@ -1060,41 +1100,53 @@ def _verify_candidates(
     signature width is paid once per UNIQUE pair, never per band
     collision.
 
-    PIGEONHOLE BAND PREFILTER (r6, exact): est_jaccard >= t means at
-    most floor(64*(1-t)) of the 64 components mismatch; every mismatch
-    touches exactly one band, and a band whose 4 components all match
-    hashes equal — so a passing pair matches at least
-    m_min = 16 - floor(64*(1-t)) bands positionally.  When m_min >= 1
-    (t > 0.765..), candidates are first filtered on the positional
-    match count of the 16-long band arrays — ~3.7x slimmer than the
-    signatures — and only survivors pay the 512B signature re-attach.
-    A hash collision can only INCREASE the band match count, so the
-    filter keeps a superset of passing pairs: output is bit-identical
-    to the unfiltered path by construction (and pinned by
-    tests/test_dedup_recall.py).  On the dup-dense bench corpus at
-    t=0.8 (m_min=4) this kills ~97% of the signature-attach rows — the
-    8.7 GB exchange that dominated the 2M curation shuffle audit.
-    Same pigeonhole discipline as the reference's two-half <=1-mismatch
-    search (_qcmodule.c:5667-5707)."""
+    BIT-PLANE PREFILTER (r9, exact; replaces the r6 band pigeonhole):
+    a passing pair (est_jaccard >= t) matches at least
+    min_match = min{c : c/64 >= t} of the 64 components positionally.
+    Each doc's ``packed`` column holds 4 bit planes of its signature
+    (see _pack_bitplanes): equal components agree on every sampled bit,
+    so 64 - bit_count(OR of the 4 per-plane XORs) is an upper bound on
+    the true component-match count, and screening on it keeps a strict
+    superset of passing pairs — output is bit-identical by construction
+    (pinned by tests/test_dedup_recall.py) because survivors still pass
+    the exact signature verify below.
+
+    Why bit planes instead of the band arrays: the band bound
+    evaporates below t = 0.765 (19 allowed mismatches can touch every
+    band) — exactly where the headline query's t=0.7 runs, which paid
+    the full 6.2M-candidate signature attach (measured sf1.0); and the
+    screen is 4 XORs + 3 ORs + one bit_count in whole-stage codegen
+    instead of a 16-element interpreted lambda.  Attach cost is 32 B a
+    side instead of 512 B.  An unequal component passes all 4 sampled
+    bits with p = 2^-4, so a J~0.3 collision pair needs a ~5-sigma
+    binomial excursion to survive the screen.  Same pigeonhole
+    discipline as the reference's two-half <=1-mismatch search
+    (_qcmodule.c:5667-5707)."""
     cand = cand.distinct()
-    m_min = LSH_BANDS - int(N_MINHASH * (1.0 - threshold))
-    if BAND_PREFILTER and m_min >= 1:
-        bs = sigs.select(id_col, "bands")
-        ba = bs.alias("_ba")
-        bb = bs.alias("_bb")
-        band_matches = F.aggregate(
-            F.zip_with("bands_a", "bands_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
+    min_match = next(
+        (c for c in range(N_MINHASH + 1) if c / float(N_MINHASH) >= threshold), None
+    )
+    if PACKED_PREFILTER and min_match and "packed" in sigs.columns:
+        # screen AFTER the distinct: the raw band-collision pair stream
+        # is a multiple of the unique-pair count (same pair re-emitted
+        # per colliding band), so screening it first was measured ~1.7x
+        # slower end-to-end than deduping to 6.2M rows and screening
+        # once per unique pair (ABAB at sf1.0: 5.0-5.9 s vs 3.2-3.5 s)
+        ps = sigs.select(id_col, "packed")
+        pa = ps.alias("_pa")
+        pb = ps.alias("_pb")
+        xors = " | ".join(
+            f"(packed_a[{k}] ^ packed_b[{k}])" for k in range(N_PACK_PLANES)
         )
+        screen = f"({N_MINHASH} - bit_count({xors})) >= {min_match}"
         cand = (
-            cand.join(ba, F.col("doc_a") == F.col(f"_ba.{id_col}"))
-            .select("doc_a", "doc_b", F.col("_ba.bands").alias("bands_a"))
-            .join(bb, F.col("doc_b") == F.col(f"_bb.{id_col}"))
+            cand.join(pa, F.col("doc_a") == F.col(f"_pa.{id_col}"))
+            .select("doc_a", "doc_b", F.col("_pa.packed").alias("packed_a"))
+            .join(pb, F.col("doc_b") == F.col(f"_pb.{id_col}"))
             .select(
-                "doc_a", "doc_b", "bands_a", F.col("_bb.bands").alias("bands_b")
+                "doc_a", "doc_b", "packed_a", F.col("_pb.packed").alias("packed_b")
             )
-            .filter(band_matches >= m_min)
+            .filter(F.expr(screen))
             .select("doc_a", "doc_b")
         )
     # the SAME projected relation feeds both sides (aliased, renames

@@ -1081,28 +1081,30 @@ def test_pinned_sketch_reuse_and_refresh(spark, tmp_path):
     assert dedup._CACHED["minhash"].count() == 2
 
 
-def test_band_prefilter_bit_identical(spark, pages_small, monkeypatch):
-    """The pigeonhole band prefilter (threshold > 0.765 -> m_min >= 1)
-    must be EXACTLY lossless: the verified pair set with the prefilter
+@pytest.mark.parametrize("threshold", [0.7, 0.8])
+def test_packed_prefilter_bit_identical(spark, pages_small, monkeypatch, threshold):
+    """The packed-byte candidate prefilter (r9) must be EXACTLY
+    lossless at every threshold: the verified pair set with the screen
     active equals the set with it forced off, est_jaccard values
-    included.  The bound is pigeonhole, not probabilistic — at t=0.8 a
-    passing pair has <= 12 mismatched components, which can touch at
-    most 12 of the 16 bands, so >= 4 bands match positionally."""
+    included.  The bound is an upper bound, not probabilistic — equal
+    signature components always have equal packed bytes, so a pair with
+    >= min_match component matches always has >= min_match byte matches
+    and survives the screen; byte collisions only ADD screen survivors,
+    which the exact signature verify then rejects.  t=0.7 is the
+    headline query's threshold (where the old band pigeonhole had no
+    bound at all); t=0.8 covers the band-era regime."""
     pages = pages_df(spark, pages_small)
 
     def run():
         return sorted(
             (r["doc_a"], r["doc_b"], r["est_jaccard"])
             for r in dedup.minhash_pairs_for(
-                pages, id_col="url", text_col="text", threshold=0.8
+                pages, id_col="url", text_col="text", threshold=threshold
             ).collect()
         )
 
     with_filter = run()
-    # m_min = LSH_BANDS - int(N_MINHASH * 0.2) >= 1 must hold for the
-    # configured geometry, otherwise this test exercises nothing
-    assert dedup.LSH_BANDS - int(dedup.N_MINHASH * 0.2) >= 1
-    monkeypatch.setattr(dedup, "BAND_PREFILTER", False)
+    monkeypatch.setattr(dedup, "PACKED_PREFILTER", False)
     without_filter = run()
     assert with_filter == without_filter and len(with_filter) > 0
 
