@@ -39,6 +39,9 @@ def fingerprint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (head 16 chars ‖ tail 16 chars ‖ length-bucket), counter-of-counters
     over fingerprint counts (reference fingerprint scheme:
     _qcmodule.c:4462-4485, seed = len>>6 at :4475)."""
+    # r9: deliberately NOT spread — the md5 here covers 33 chars per
+    # doc, so the projection is far cheaper than the exchange a spread
+    # would add (ABAB-measured 0.50 -> 0.70 s WITH a spread at sf1.0)
     d = load(spark, sf_dir, "documents")
     n = F.length("text")
     fp = F.md5(
@@ -700,13 +703,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
             )
 
     prepared = _with_digest(docs, id_col, text_col)
-    # cap=16: the spread only engages when the scan under-decomposes
-    # (splits < cores), i.e. on small-byte inputs where per-task Arrow
-    # handshake dominates the batched kernel (~6k docs/s/core) — 16
-    # tasks is ample for any input small enough to trigger the spread,
-    # and at production scale row-group splits exceed cores so neither
-    # the spread nor the cap ever applies
-    return _spread_for_python(prepared, cap=16).mapInPandas(_batches, schema=schema)
+    # size-aware spread (r9, replaces the fixed cap=16): engages only
+    # when the scan under-decomposes (splits < cores); width targets
+    # ~64 KB of source bytes per task so small inputs stay handshake-
+    # bound-free while the 50k-doc sf1.0 corpus sketches on every core.
+    # At production scale row-group splits exceed cores and the spread
+    # never applies.
+    return _spread_for_python(
+        prepared, bytes_per_task=64 * 1024
+    ).mapInPandas(_batches, schema=schema)
 
 
 def collapse_exact_reps(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -98,7 +98,7 @@ def get_spark(
     return spark
 
 
-def spread_for_python(df, cap: int | None = None):
+def spread_for_python(df, cap: int | None = None, bytes_per_task: int | None = None):
     """CPU-spread guard for Python (mapInPandas) stages: scan bytes !=
     compute cost, so a small-but-CPU-heavy input can arrive as a single
     scan split (sf0.1 documents is ONE 584 KB split) and starve the
@@ -114,6 +114,19 @@ def spread_for_python(df, cap: int | None = None):
     if df.isStreaming:  # .rdd is illegal on a streaming frame; micro-
         return df       # batch sizing is the trigger's job, not ours
     target = df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_task is not None:
+        # size-aware spread width (r9): a FIXED cap is wrong at both
+        # ends — cap=8 left 24 cores idle on the 50k-doc sf1.0 corpus
+        # (measured 2.57 s vs 1.49 s uncapped) while uncapped split the
+        # 5k-doc sf0.1 corpus into 156-doc tasks whose Arrow handshake
+        # dominated (0.73 s vs 0.96 s).  The optimizer's sizeInBytes
+        # estimate is available without running a job and scales with
+        # the source files, so size the task count to ~bytes_per_task
+        # of input each, clamped to session parallelism.  Unknown-size
+        # sources (generated frames) estimate huge and clamp to
+        # parallelism, which is the right default for them.
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        target = min(target, max(1, est // bytes_per_task))
     if cap is not None:
         target = min(cap, target)
     if df.rdd.getNumPartitions() < target:
