@@ -114,7 +114,6 @@ def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
             f"  i -> array_join(slice(words, i * {wpp} + 1, {wpp}), ' '))"
         ).alias("paras"),
     )
-    stats = seg.select("doc_id", F.size("paras").alias("n_paras"))
     paras = seg.select("doc_id", F.posexplode_outer("paras").alias("pid", "para"))
     # Third optimizer trap (plan-audited r8): min(struct(doc_id, pid))
     # compiles to a SortAggregate — struct buffers are not
@@ -128,32 +127,68 @@ def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
     fk = F.col("doc_id").cast("decimal(19,0)") * F.lit(
         10_000_000_000
     ).cast("decimal(11,0)") + F.col("pid")
-    firsts = paras.groupBy("para").agg(F.min(fk).alias("fk"))
+    # r9 (VERDICT r8 "what's wrong" #3): HASH-KEY election.  The r8
+    # election grouped on the paragraph TEXT, so every unique paragraph
+    # shipped its full text through the exchange — the measured
+    # memory-bandwidth wall of the 5M 8->32 ladder.  Now the group key
+    # is a 128-bit paragraph hash (two independent xxhash64 views,
+    # 16 B), so the election exchange carries (hash, fk) ≈ 32 B per
+    # map-side-collapsed unique paragraph regardless of prose length.
+    # Correctness is 2^-128-class: distinct paragraphs colliding on
+    # BOTH 64-bit hashes would merge two groups; at 10^12 distinct
+    # paragraphs the collision probability is ~10^24 * 2^-128 < 10^-14.
+    # The election result is ids-only (doc_id, pid) — paragraph text
+    # never rides this exchange at all (it is re-derived from the base
+    # table at reconstruction, below).
+    firsts = paras.groupBy(
+        F.xxhash64("para").alias("h1"), F.xxhash64("para", F.lit(1)).alias("h2")
+    ).agg(F.min(fk).alias("fk"))
     survivors = firsts.select(
         F.floor(F.col("fk") / 10_000_000_000).cast("bigint").alias("doc_id"),
         F.pmod(F.col("fk"), F.lit(10_000_000_000)).cast("int").alias("pid"),
-        "para",
     )
-    recon = survivors.groupBy("doc_id").agg(
+    # Per-doc survivor pid arrays: ids-only aggregation keyed by the
+    # unique doc_id (skewless by construction)
+    kept = survivors.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pid", "para"))),
-                lambda x: x["para"],
-            ),
-            " ",
-        ).alias("text_dedup"),
+        F.sort_array(F.collect_list("pid")).alias("pids"),
+    )
+    # r9 (VERDICT r8 "what's wrong" #2): reconstruction re-derives the
+    # surviving text from the BASE table instead of shuffling survivor
+    # paragraphs: attach the tiny pid arrays to the docs scan (broadcast
+    # at bench scale, shuffle-hash on the unique doc_id at corpus scale
+    # — guide §8: the heavy text bytes move at most once, on a unique
+    # key) and slice the kept windows back out of the one split.  The
+    # old duplicated stats branch (its own scan + split) is gone:
+    # n_paras comes from size(words) in the same projection.  NOTE the
+    # projection must reference `words` at least TWICE (size() and the
+    # slice lambda) — with a single reference CollapseProject inlines
+    # split() into the transform lambda and re-splits per kept
+    # paragraph (optimizer trap 1 again; pinned by
+    # tests/test_paragraph_dedup.py::test_plan_evaluates_split_exactly_once).
+    recon_words = docs.join(kept, "doc_id", "left").withColumn(
+        "words", F.split(F.coalesce("text", F.lit("")), " ")
     )
     # NO trailing orderBy here: a global sort would range-exchange the
     # full reconstructed text a second time, and every job-side consumer
     # (curation --paragraph-dedup aggregates and joins it) is
     # order-insensitive.  The driver entry below adds the sort the
     # oracle comparison wants.
-    return stats.join(recon, "doc_id", "left").select(
+    return recon_words.select(
         "doc_id",
-        "n_paras",
+        F.expr(f"cast(ceil(size(words) / {wpp}.0) as int)").alias("n_paras"),
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.when(F.col("pids").isNull(), F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    "pids",
+                    lambda i: F.array_join(
+                        F.slice("words", i * wpp + 1, wpp), " "
+                    ),
+                ),
+                " ",
+            )
+        ).alias("text_dedup"),
     )
 
 

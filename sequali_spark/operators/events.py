@@ -29,6 +29,24 @@ def _value_sum_cents() -> F.Column:
     return F.floor(dec_sum * 100).cast("long")
 
 
+def _with_value_split(e: DataFrame, *cols: str) -> DataFrame:
+    """Project ``cols`` plus the exact micro-unit (unit, remainder)
+    split of ``value`` — the long-split building block shared by the
+    value-summing queries (derivation at hourly_report): v6 is the
+    identical decimal(18,6) cast the old decimal path used, converted
+    once per row to an exact integer; the component sums are plain
+    codegen long sums and floor(sum*100) is recomposed as
+    su*100 + sr div 10000."""
+    names = [c.rsplit(" as ", 1)[-1].strip() for c in cols]
+    return e.selectExpr(
+        *cols, "cast(cast(value as decimal(18,6)) * 1000000 as long) as v6"
+    ).selectExpr(
+        *names,
+        "(v6 - pmod(v6, 1000000)) div 1000000 as vu",
+        "pmod(v6, 1000000) as vr",
+    )
+
+
 def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour: events, distinct users, exact value sum in integer
     cents — the A17 time-slot report (distinct users ≙ distinct
@@ -51,15 +69,7 @@ def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    because component sums of exact integers are exact.
     e = spread_for_compute(load(spark, sf_dir, "events"), key="event_id")
     per_user = (
-        e.selectExpr(
-            "date_trunc('hour', ts) as hour",
-            "user_id",
-            "cast(cast(value as decimal(18,6)) * 1000000 as long) as v6",
-        )
-        .selectExpr(
-            "hour", "user_id",
-            "(v6 - pmod(v6, 1000000)) div 1000000 as vu", "pmod(v6, 1000000) as vr",
-        )
+        _with_value_split(e, "date_trunc('hour', ts) as hour", "user_id")
         .groupBy("hour", "user_id")
         .agg(
             F.count("*").alias("cnt"),
@@ -84,13 +94,32 @@ def hourly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
+    # r9: same three changes as hourly_report (spread + two-level
+    # aggregation instead of the countDistinct Expand + long-split
+    # value sum); value-identical, mirror-swept
+    from sequali_spark.session import spread_for_compute
+
+    e = spread_for_compute(load(spark, sf_dir, "events"), key="event_id")
+    per_user = (
+        _with_value_split(e, "event_type", "user_id")
+        .groupBy("event_type", "user_id")
         .agg(
-            F.count("*").alias("events"),
-            F.countDistinct("user_id").alias("distinct_users"),
-            _value_sum_cents().alias("value_sum_cents"),
+            F.count("*").alias("cnt"),
+            F.sum("vu").alias("svu"),
+            F.sum("vr").alias("svr"),
+        )
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("events"),
+            F.count("user_id").alias("distinct_users"),
+            F.sum("svu").alias("su"),
+            F.sum("svr").alias("sr"),
+        )
+        .selectExpr(
+            "event_type", "events", "distinct_users",
+            "su * 100 + sr div 10000 as value_sum_cents",
         )
         .orderBy("event_type")
     )
@@ -143,12 +172,21 @@ def top_users_by_value(spark: SparkSession, sf_dir: str, top_n: int = 25) -> Dat
     pattern).  Ordering is on the emitted cents column so both engines
     rank by the identical integer key (floor ties broken by user_id the
     same way on both sides)."""
-    e = load(spark, sf_dir, "events")
+    # r9: spread + long-split value sum (see hourly_report); no
+    # distinct here so a single two-phase groupBy suffices
+    from sequali_spark.session import spread_for_compute
+
+    e = spread_for_compute(load(spark, sf_dir, "events"), key="event_id")
     return (
-        e.groupBy("user_id")
+        _with_value_split(e, "user_id")
+        .groupBy("user_id")
         .agg(
-            _value_sum_cents().alias("value_sum_cents"),
+            F.sum("vu").alias("su"),
+            F.sum("vr").alias("sr"),
             F.count("*").alias("events"),
+        )
+        .selectExpr(
+            "user_id", "su * 100 + sr div 10000 as value_sum_cents", "events"
         )
         .orderBy(F.desc("value_sum_cents"), "user_id")
         .limit(top_n)

@@ -74,9 +74,11 @@ def char_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def word_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens + mean word length via split arithmetic (P12/A13 analogue)."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     n = F.length("text")
-    spaces = _count_class("[ ]")
+    spaces = _count_chars(" ")
     n_words = spaces + 1
     return (
         d.filter(n > 0)
@@ -140,7 +142,9 @@ def substring_scan(spark: SparkSession, sf_dir: str, probe: str = "data") -> Dat
     """Exact substring search: first occurrence + total count per doc —
     the AdapterCounter A6 analogue (first-match semantics = instr;
     reference _qcmodule.c:2643-2672 records first occurrence only)."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     first_pos = F.instr(F.col("text"), probe)
     # literal replace (not regexp_replace): probes may contain regex
     # metacharacters; the DuckDB oracle's replace() is literal too
@@ -158,7 +162,9 @@ def substring_scan(spark: SparkSession, sf_dir: str, probe: str = "data") -> Dat
 def stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stopword token fraction (rule-battery member; exercises
     explode + conditional agg)."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     stop = ["the", "a", "of", "and", "to"]
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     return (
@@ -239,7 +245,9 @@ def position_char_profile(spark: SparkSession, sf_dir: str, max_pos: int = 100, 
     _qcmodule.c:1786-1803: count[pos][class] over the read), realized as
     explode(position) -> groupBy(bucket): Catalyst's partial+final agg
     plays the reference's uint16-staging/uint64-flush two-level scheme."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     # empty text would make sequence(1, 0) step DOWNWARD to [1, 0] and
     # emit phantom positions — filter first (the oracle mirrors this)
     d = d.filter(F.length("text") > 0)
@@ -354,11 +362,11 @@ def alpha_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus histogram of per-doc alpha ratio (2%-wide buckets) — the
     GC-content histogram transplant (A4, reference _qcmodule.c:2045-2058:
     hist[round(100*gc)] += 1)."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     n = F.length("text")
-    alpha_bps = F.floor(
-        F.lit(10000) * (n - F.length(F.regexp_replace("text", "[a-z]", ""))) / n
-    ).cast("long")
+    alpha_bps = F.floor(F.lit(10000) * _count_chars(_ALPHA_LC) / n).cast("long")
     bucket = F.floor(alpha_bps / 200).cast("long")
     return (
         d.filter(n > 0)
@@ -431,9 +439,11 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs | digit runs | single non-alnum) counted JVM-side —
     the standard pre-tokenizer shape, giving a corpus token budget
     estimate per source."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
-    ws_toks = _count_class("[ ]") + 1
+    ws_toks = _count_chars(" ") + 1
     return (
         d.filter(F.length("text") > 0)
         .groupBy("source")
@@ -552,10 +562,14 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis points — the training-mixture curation step downstream of
     quality filtering.  Integer arithmetic end-to-end so both engines
     hash identically."""
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(
+        load(spark, sf_dir, "documents"), key="doc_id"
+    ).filter(F.col("text").isNotNull())
     n = F.length("text")
-    spaces = _count_class("[ ]")
-    alpha_bps = _bps(_count_class("[a-z]"), F.greatest(n, F.lit(1)))
+    spaces = _count_chars(" ")
+    alpha_bps = _bps(_count_chars(_ALPHA_LC), F.greatest(n, F.lit(1)))
     score = (
         (n >= 50).cast("long")
         + (n <= 100000).cast("long")
@@ -608,7 +622,9 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine-identical answer.  At corpus scales beyond the
     guard, compute per shard or read the decimal-domain mass off the
     internal aggregate."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     toks = d.filter(F.length("text") > 0).select(
         "source", F.explode(F.split("text", " ", -1)).alias("tok")
     )
@@ -671,7 +687,9 @@ def ppl_surprisal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar total attached via a broadcast 1-row cross join.  Bit sums
     stay in int64: tok_bits <= 63, so sum < 63 * doc_tokens — exact for
     any doc under ~1.4e17 tokens."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     toks = d.filter(F.length("text") > 0).select(
         "doc_id", "source", F.explode(F.split("text", " ", -1)).alias("tok")
     )
@@ -730,8 +748,10 @@ def benchmark_decontaminate(
     winnow-fingerprint equi-join (dedup.winnow_overlap_pairs): any
     shared passage of length >= w+k-1 guarantees a shared fingerprint,
     turning decontamination into a hash join."""
+    from sequali_spark.session import spread_for_compute
+
     hits = decontamination_hits(
-        load(spark, sf_dir, "documents"),
+        spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id"),
         n_probes=n_probes,
         probe_len=probe_len,
         min_chars=min_chars,
@@ -922,7 +942,9 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive
     text), computed as explode -> two-level distinct aggregation."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     return (
         toks.groupBy("source")
@@ -946,7 +968,9 @@ def gopher_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side: one split per axis feeds higher-order array filters, so
     the plan is a single WholeStageCodegen projection over the scan —
     no shuffle, no UDF, trivially linear at 100 TB."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     n = F.length("text")
     lines = F.split("text", "\n")
     words = F.split("text", " ")
@@ -962,7 +986,7 @@ def gopher_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     # symbol occurrences: '#' by char-class length-diff; '...' by
     # non-overlapping literal replace (leftmost, both engines)
-    hashes = _count_class("[#]")
+    hashes = _count_chars("#")
     dots = ((n - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3).cast("long")
     n_lines = F.size(lines)
     n_words = F.size(words)
@@ -990,7 +1014,9 @@ def dup_line_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates keyed by doc_id(+line), so the plan is skew-safe at any
     corpus size (a pathological single-doc mega-line set still spreads
     across tasks by line hash before the per-doc rollup)."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     lines = (
         d.filter(F.length("text") > 0)
         .select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
@@ -1025,7 +1051,9 @@ def top_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining hash aggregates keyed (doc_id, gram) -> doc_id.
     No window, no UDF; a boilerplate mega-doc spreads across tasks by
     gram hash before the per-doc rollup."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     words = F.split("text", " ")
     n_w = F.size(words)
     # sequence(0, -1) would generate a DESCENDING range, so docs with a
@@ -1067,7 +1095,9 @@ def dup_ngram_mass(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     once / total gram mass.  Same plan shape as top_bigram_mass: grams
     built JVM-side, exploded, two map-side-combining hash aggregates —
     no window, no UDF, skew-safe by gram hash."""
-    d = load(spark, sf_dir, "documents")
+    from sequali_spark.session import spread_for_compute
+
+    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
     words = F.split("text", " ")
     n_w = F.size(words)
     base = (
