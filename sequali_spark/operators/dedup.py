@@ -870,7 +870,25 @@ def minhash_pairs_for(
     """
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     if collapse_exact:
-        sigs = collapse_exact_reps(sigs, id_col=id_col)
+        # r9: rep election on a SLIM (id, digest) frame from a second
+        # pure-JVM md5 scan + a left-semi join on the unique id — the
+        # same discipline exact_rep_labeled_sigs adopted in r8.  The
+        # previous collapse_exact_reps call here compiled to a
+        # SortAggregate (first(signature)/first(bands) carry array
+        # buffers, which HashAggregate cannot hold), sorting the full
+        # ~0.6 KB/doc sketch frame on both sides of a digest exchange;
+        # the slim path hash-aggregates 50 B rows and exchanges the
+        # sketch frame once, unsorted, by a skewless unique key.
+        reps = (
+            _with_digest(docs, id_col, text_col)
+            .select(id_col, "digest")
+            .groupBy("digest")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        sigs = sigs.join(
+            reps.hint("shuffle_hash"), id_col, "left_semi"
+        ).drop("digest")
     # fingerprint from the RAW docs frame (see _cache_fingerprint) plus
     # every structural parameter that shapes the pinned sketch; threshold
     # and bucket/ring knobs apply downstream of the pin and are excluded
