@@ -109,16 +109,39 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_unshipped_orders(spark: SparkSession, sf_dir: str, top_n: int = 10) -> DataFrame:
     """TPC-H Q3-style: 3-way join (broadcast dim, shuffled fact) +
     revenue top-k."""
-    li = load(spark, sf_dir, "lineitem")
+    # r9: revenue via the exact long-split component sums (same
+    # derivation + per-row decimal cast as pricing_summary, so the
+    # emitted cents are bit-identical); the lineitem side is projected
+    # to the component longs BEFORE the join, so the join exchange
+    # carries 5 longs instead of 2 doubles + late decimal math.
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    ).selectExpr(
+        "l_orderkey",
+        "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
+        "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
+    ).selectExpr(
+        "l_orderkey", "p6 * (1000000 - d6) as v12"
+    ).selectExpr(
+        "l_orderkey",
+        "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
+        "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
+        "pmod(v12, 1000000) as dr",
+    )
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
-        .filter((F.col("o_orderdate") < F.lit("1995-03-15")) & (F.col("l_shipdate") > F.lit("1995-03-15")))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_cents12(revenue).alias("revenue_cents"))
+        .agg(
+            F.sum("du").alias("sdu"), F.sum("dm").alias("sdm"), F.sum("dr").alias("sdr")
+        )
+        .selectExpr(
+            "l_orderkey", "o_orderdate",
+            "sdu * 100 + (sdm + sdr div 1000000) div 10000 as revenue_cents",
+        )
         # rank on the emitted integer so both engines cut the same top-k
         .orderBy(F.desc("revenue_cents"), "l_orderkey")
         .limit(top_n)
