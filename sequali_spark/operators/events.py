@@ -24,7 +24,12 @@ def _value_sum_cents() -> F.Column:
     engine bindings disagree on how to surface them (pandas coerces
     DECIMAL->float64), while BIGINT is unambiguous.  The intermediate
     cast to decimal(30,6) keeps the *100 inside decimal range on both
-    engines (a 38-precision input would spill the multiply)."""
+    engines (a 38-precision input would spill the multiply).
+
+    r9: retained as the REFERENCE formulation — the query paths now use
+    _with_value_split's exact integer component sums, which are
+    numerically identical (verified by collect-compare and the DuckDB
+    mirror) and stay on codegen long arithmetic."""
     dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)")
     return F.floor(dec_sum * 100).cast("long")
 
