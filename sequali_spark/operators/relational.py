@@ -111,29 +111,36 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, top_n: int = 10) -> D
     revenue top-k."""
     # r9: revenue via the exact long-split component sums (same
     # derivation + per-row decimal cast as pricing_summary, so the
-    # emitted cents are bit-identical); the lineitem side is projected
-    # to the component longs BEFORE the join, so the join exchange
-    # carries 5 longs instead of 2 doubles + late decimal math.
+    # emitted cents are bit-identical).  The split is computed AFTER
+    # the joins+filters, not on the full lineitem side: an earlier
+    # variant that pre-projected the components ran the per-row math on
+    # every shipdate-filtered row (~3M at sf1.0) instead of the ~290k
+    # join survivors and measured 0.55 -> 0.90 s — a regression the
+    # interleaved r8/r9 series caught; the doubles ride the join (16 B,
+    # as in r8) and only survivors pay the conversion.
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15")
-    ).selectExpr(
-        "l_orderkey",
-        "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
-        "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
-    ).selectExpr(
-        "l_orderkey", "p6 * (1000000 - d6) as v12"
-    ).selectExpr(
-        "l_orderkey",
-        "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
-        "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
-        "pmod(v12, 1000000) as dr",
-    )
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .selectExpr(
+            "l_orderkey", "o_orderdate",
+            "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
+            "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
+        )
+        .selectExpr(
+            "l_orderkey", "o_orderdate", "p6 * (1000000 - d6) as v12"
+        )
+        .selectExpr(
+            "l_orderkey", "o_orderdate",
+            "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
+            "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
+            "pmod(v12, 1000000) as dr",
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum("du").alias("sdu"), F.sum("dm").alias("sdm"), F.sum("dr").alias("sdr")
