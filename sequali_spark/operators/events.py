@@ -177,11 +177,11 @@ def top_users_by_value(spark: SparkSession, sf_dir: str, top_n: int = 25) -> Dat
     pattern).  Ordering is on the emitted cents column so both engines
     rank by the identical integer key (floor ties broken by user_id the
     same way on both sides)."""
-    # r9: spread + long-split value sum (see hourly_report); no
-    # distinct here so a single two-phase groupBy suffices
-    from sequali_spark.session import spread_for_compute
-
-    e = spread_for_compute(load(spark, sf_dir, "events"), key="event_id")
+    # r9: long-split value sum (see hourly_report); no distinct here so
+    # a single two-phase groupBy suffices.  NOT spread: the 15k-group
+    # map-side partial agg is cheap and the spread exchange measured as
+    # a net tax (ABAB 0.59/0.60 s unspread-r8 vs 0.72/0.74 s spread)
+    e = load(spark, sf_dir, "events")
     return (
         _with_value_split(e, "user_id")
         .groupBy("user_id")

@@ -162,9 +162,10 @@ def substring_scan(spark: SparkSession, sf_dir: str, probe: str = "data") -> Dat
 def stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stopword token fraction (rule-battery member; exercises
     explode + conditional agg)."""
-    from sequali_spark.session import spread_for_compute
-
-    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
+    # r9: deliberately NOT spread — ABAB read 0.51/0.53 s unspread vs
+    # 0.68/0.70 s spread at sf1.0 (the token explode's split is one pass
+    # and the downstream agg dominates; the spread exchange is pure tax)
+    d = load(spark, sf_dir, "documents")
     stop = ["the", "a", "of", "and", "to"]
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     return (
@@ -622,9 +623,9 @@ def token_zipf_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine-identical answer.  At corpus scales beyond the
     guard, compute per shard or read the decimal-domain mass off the
     internal aggregate."""
-    from sequali_spark.session import spread_for_compute
-
-    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
+    # r9: deliberately NOT spread (ABAB 0.65/0.69 s unspread vs
+    # 0.77/0.79 s spread at sf1.0 — the vocabulary shuffles dominate)
+    d = load(spark, sf_dir, "documents")
     toks = d.filter(F.length("text") > 0).select(
         "source", F.explode(F.split("text", " ", -1)).alias("tok")
     )
@@ -942,9 +943,9 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio (distinct tokens / tokens, bps) —
     the lexical-diversity quality metric (low TTR = templated/repetitive
     text), computed as explode -> two-level distinct aggregation."""
-    from sequali_spark.session import spread_for_compute
-
-    d = spread_for_compute(load(spark, sf_dir, "documents"), key="doc_id")
+    # r9: deliberately NOT spread (ABAB 0.46/0.48 s unspread vs
+    # 0.57/0.61 s spread at sf1.0 — the distinct shuffle dominates)
+    d = load(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     return (
         toks.groupBy("source")
