@@ -90,6 +90,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set aggs: the
+        # minhash bucket stage, paragraph pid arrays) falls back to
+        # SORT-based aggregation once a task's hash map passes this many
+        # distinct keys — the default 128 forces a sort of every
+        # bucket-keyed partial agg.  The map's memory is bounded by the
+        # task's input rows either way (the sort path buffers the same
+        # data), so a high threshold trades no safety; isolated ABAB on
+        # the 800k-row minhash bucket agg at sf1.0: 1.31/1.31 s (128)
+        # vs 1.14/1.05 s (4M).  Scale-independent: the knob is
+        # per-task distinct-key count, not cluster size.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
