@@ -28,7 +28,12 @@ def _cents(dec_sum: F.Column) -> F.Column:
     """Exact decimal aggregate -> BIGINT cents.  The cast to
     decimal(30,s) before *100 keeps the multiply inside decimal range on
     both engines (a precision-38 operand would spill the product to
-    double on DuckDB and truncate scale on Spark)."""
+    double on DuckDB and truncate scale on Spark).
+
+    r9: retained as the REFERENCE formulation (it is what oracle_sql
+    still computes) — the Spark query paths now use the exact long-split
+    component sums from pricing_summary, which are numerically identical
+    (collect-compare + DuckDB mirror) and stay on codegen longs."""
     return F.floor(dec_sum.cast("decimal(30,6)") * 100).cast("long")
 
 
@@ -228,9 +233,14 @@ def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> Da
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
-    )
+    # r9: exact long-split revenue sum (same derivation + per-row
+    # decimal(18,6) cast as pricing_summary, so the emitted cents are
+    # bit-identical — MATCH-verified + mirror-swept).  Computed on the
+    # JOIN SURVIVORS, as in top_unshipped_orders: only ~1/125 of
+    # lineitem reaches this projection (one region, local-supplier
+    # match, one order year), so the doubles ride the joins and the
+    # split costs ~nothing; the decimal(37,12) sum buffer it replaces
+    # was the per-group hot loop.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
@@ -243,8 +253,24 @@ def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> Da
             (F.col("o_orderdate") >= F.lit("1994-01-01"))
             & (F.col("o_orderdate") < F.lit("1995-01-01"))
         )
+        .selectExpr(
+            "n_name",
+            "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
+            "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
+        )
+        .selectExpr("n_name", "p6 * (1000000 - d6) as v12")
+        .selectExpr(
+            "n_name",
+            "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
+            "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
+            "pmod(v12, 1000000) as dr",
+        )
         .groupBy("n_name")
-        .agg(_cents12(revenue).alias("revenue_cents"))
+        .agg(F.sum("du").alias("sdu"), F.sum("dm").alias("sdm"), F.sum("dr").alias("sdr"))
+        .selectExpr(
+            "n_name",
+            "sdu * 100 + (sdm + sdr div 1000000) div 10000 as revenue_cents",
+        )
         .orderBy(F.desc("revenue_cents"), "n_name")
     )
 
@@ -261,19 +287,38 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
-    )
+    # r9: exact long-split revenue sum on the join survivors (one month
+    # of lineitem — same recipe/derivation as pricing_summary, cents
+    # bit-identical; MATCH-verified + mirror-swept).  The downstream
+    # share-of-total window reads only the emitted revenue_cents, which
+    # is unchanged by construction.
     per_type = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1995-09-01"))
             & (F.col("l_shipdate") < F.lit("1995-10-01"))
         )
         .join(part, li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_type",
+            "cast(cast(l_extendedprice as decimal(18,6)) * 1000000 as long) as p6",
+            "cast(cast(l_discount as decimal(18,6)) * 1000000 as long) as d6",
+        )
+        .selectExpr("p_type", "p6 * (1000000 - d6) as v12")
+        .selectExpr(
+            "p_type",
+            "((v12 - pmod(v12, 1000000)) div 1000000 - pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000)) div 1000000 as du",
+            "pmod((v12 - pmod(v12, 1000000)) div 1000000, 1000000) as dm",
+            "pmod(v12, 1000000) as dr",
+        )
         .groupBy("p_type")
         .agg(
             F.count("*").alias("line_items"),
-            _cents12(revenue).alias("revenue_cents"),
+            F.sum("du").alias("sdu"), F.sum("dm").alias("sdm"), F.sum("dr").alias("sdr"),
+        )
+        .selectExpr(
+            "p_type",
+            "line_items",
+            "sdu * 100 + (sdm + sdr div 1000000) div 10000 as revenue_cents",
         )
     )
     i64 = 9223372036854775807
@@ -313,11 +358,28 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = e.join(
         F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi), "inner"
     )
+    # r9: exact long-split value sum (scale-6 recipe from
+    # pricing_summary: same per-row decimal(18,6) cast, so cents are
+    # bit-identical; MATCH-verified + mirror-swept).  Computed after the
+    # BroadcastNestedLoopJoin so the stream side ships only (value) and
+    # the band predicates see the raw double.
     return (
-        joined.groupBy("band")
+        joined.selectExpr(
+            "band",
+            "cast(cast(value as decimal(18,6)) * 1000000 as long) as v6",
+        )
+        .selectExpr(
+            "band",
+            "(v6 - pmod(v6, 1000000)) div 1000000 as vu", "pmod(v6, 1000000) as vr",
+        )
+        .groupBy("band")
         .agg(
             F.count("*").alias("events"),
-            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias("value_sum_cents"),
+            F.sum("vu").alias("svu"), F.sum("vr").alias("svr"),
+        )
+        .selectExpr(
+            "band", "events",
+            "svu * 100 + svr div 10000 as value_sum_cents",
         )
         .orderBy("band")
     )
