@@ -880,10 +880,27 @@ def run_paragraph(rows: int, ladder: tuple = (2, 8)) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
+    def _ladder(text: str) -> tuple:
+        # r9 (advisor): validate arity + positivity up front instead of
+        # raising a bare int()/IndexError deep inside run_paragraph
+        parts = text.split(",")
+        if len(parts) != 2:
+            raise argparse.ArgumentTypeError(
+                f"--ladder wants exactly two comma-separated ints, got {text!r}"
+            )
+        try:
+            lo, hi = (int(p) for p in parts)
+        except ValueError:
+            raise argparse.ArgumentTypeError(f"--ladder: non-integer in {text!r}")
+        if lo <= 0 or hi <= 0:
+            raise argparse.ArgumentTypeError(f"--ladder: both must be positive, got {text!r}")
+        return (lo, hi)
+
     ap.add_argument(
         "--ladder",
+        type=_ladder,
         default=None,
-        help="comma-separated parallelism pair for ladder modes, e.g. 8,32",
+        help="comma-separated parallelism pair for --mode paragraph, e.g. 8,32",
     )
     ap.add_argument(
         "--mode",
@@ -904,12 +921,9 @@ def main() -> None:
         results["curation_scaling"] = run_curation_scaling(args.rows)
         print(json.dumps({"curation_scaling": results["curation_scaling"]}))
     if args.mode == "paragraph":  # ladder; not part of "all"
-        ladder = (
-            tuple(int(x) for x in args.ladder.split(","))
-            if args.ladder
-            else (2, 8)
+        results["paragraph_dedup"] = run_paragraph(
+            args.rows, ladder=args.ladder or (2, 8)
         )
-        results["paragraph_dedup"] = run_paragraph(args.rows, ladder=ladder)
         print(json.dumps({"paragraph_dedup": results["paragraph_dedup"]}))
     if args.mode == "ann":  # separate corpus; not part of "all"
         results["ann"] = run_ann(args.rows)

@@ -41,10 +41,16 @@ MAX_CTRL_RATIO = 0.005
 MAX_CHAR_RUN = 20
 MAX_DUP_LINE_FRAC = 0.30
 MAX_TOP_BIGRAM_FRAC = 0.20
-# Gopher structure rules (Rae et al. 2021 §A1.1, canonical thresholds):
-# listing-like pages (>90% bullet lines), clipped/teaser pages (>30%
-# lines ending in an ellipsis), symbol soup (<80% of words contain a
-# letter, or >0.1 symbols per word — '#' and '...')
+# Gopher structure rules (Rae et al. 2021 §A1.1): listing-like pages
+# (>90% bullet lines), clipped/teaser pages (>30% lines ending in an
+# ellipsis), symbol soup (<80% of words contain a letter, or >0.1
+# symbols per word).  The line-frac and alpha-word thresholds are the
+# paper's; the symbol rule deliberately deviates: '#' and '...' COUNTS
+# are summed against ONE 0.1 threshold (the paper applies 0.1 to each
+# symbol's ratio separately), and U+2026 counts only for the
+# line-ending ellipsis rule, not as a symbol.  Slightly stricter than
+# the paper; pinned by the oracle-backed gopher queries — do not
+# "fix" without re-deriving every downstream hash.
 MAX_BULLET_LINE_FRAC = 0.90
 MAX_ELLIPSIS_LINE_FRAC = 0.30
 MIN_ALPHA_WORD_FRAC = 0.80
