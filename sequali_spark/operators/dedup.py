@@ -148,7 +148,19 @@ def paragraph_dedup(docs: DataFrame, words_per_para: int = 20) -> DataFrame:
         F.pmod(F.col("fk"), F.lit(10_000_000_000)).cast("int").alias("pid"),
     )
     # Per-doc survivor pid arrays: ids-only aggregation keyed by the
-    # unique doc_id (skewless by construction)
+    # unique doc_id (skewless by construction).  Pin the
+    # ObjectHashAggregate fallback to Spark's default 128 at build time:
+    # this agg has ~one distinct key per input row (2M doc_id groups at
+    # the 2M ladder), where hash-mode array buffers churn and the sort
+    # path streams — measured 43.5 s (128) vs 53.3 s (4M) on the 2M
+    # ladder's 8-cpu leg.  Explicit, not inherited, because the minhash
+    # pairs path raises the same session conf to 4M at ITS build time
+    # (few distinct bucket keys per task — the opposite regime) and the
+    # curation job runs both in one session.  Perf-only conf; results
+    # are unaffected either way.
+    survivors.sparkSession.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128"
+    )
     kept = survivors.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_kept"),
         F.sort_array(F.collect_list("pid")).alias("pids"),
@@ -1109,6 +1121,20 @@ def minhash_pairs_from_sigs(
     # window-rank plan did (same partitioning key) — and its in-memory
     # footprint is ~16 B/member; the linear-volume scale surface for
     # degenerate buckets remains edge_mode="ring" (salted sub-buckets).
+    # Scoped ObjectHashAggregate tuning (r9): the bucket agg below has
+    # FEW distinct (band, hash) keys per task relative to rows, so
+    # staying in hash mode past Spark's 128-key fallback wins 15-20%
+    # (isolated ABAB at sf1.0: 1.31 s at 128 vs 1.14/1.05 s at 4M).
+    # Set here at build time, NOT in get_spark: the same knob measured
+    # ~20% WORSE on the paragraph pid-array agg (2M distinct doc_id
+    # groups churn as hash-mode array buffers; see session.py), so the
+    # session default stays 128 and only this path raises it.  The conf
+    # is perf-only — it can never change results — so leaking it to a
+    # later query built in the same session costs at most a perf blip.
+    bands.sparkSession.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        str(4 * 1024 * 1024),
+    )
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(

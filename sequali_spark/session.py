@@ -90,17 +90,22 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # ObjectHashAggregate (collect_list/collect_set aggs: the
-        # minhash bucket stage, paragraph pid arrays) falls back to
-        # SORT-based aggregation once a task's hash map passes this many
-        # distinct keys — the default 128 forces a sort of every
-        # bucket-keyed partial agg.  The map's memory is bounded by the
-        # task's input rows either way (the sort path buffers the same
-        # data), so a high threshold trades no safety; isolated ABAB on
-        # the 800k-row minhash bucket agg at sf1.0: 1.31/1.31 s (128)
-        # vs 1.14/1.05 s (4M).  Scale-independent: the knob is
-        # per-task distinct-key count, not cluster size.
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(4 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set aggs) falls back
+        # to SORT-based aggregation once a task's hash map passes this
+        # many distinct keys.  r9 first raised this GLOBALLY to 4M on an
+        # isolated minhash-bucket ABAB (1.31/1.31 s at 128 vs
+        # 1.14/1.05 s at 4M on the 800k-row agg) — and a late-round 2M
+        # paragraph-ladder re-run caught the raise REGRESSING the
+        # high-cardinality pid-array agg ~20% on the 8-cpu leg (43.5 s
+        # at 128 vs 53.3 s at 4M, same window; 2M distinct doc_id
+        # groups churn as in-memory array buffers in hash mode, while
+        # the sort path streams them).  The knob is therefore
+        # per-AGGREGATE, not global: the session default stays at
+        # Spark's 128 (which both committed at-scale ladder records
+        # ran under), and the minhash pairs path — few distinct
+        # bucket keys per task — pins 4M at build time
+        # (dedup.minhash_pairs_from_sigs).  The conf is perf-only
+        # (never changes results), so build-time scoping is safe.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
